@@ -1,0 +1,116 @@
+"""Benchmark: training throughput (utt/sec/chip) on the flagship hybrid
+CTC/attention config — the official metric [BASELINE.json:L2].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "utt/s/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against the reference's MXNet-CPU throughput.
+No published number exists ([BASELINE.json:L13] "published": {};
+BASELINE.md), so the stand-in is this repo's own measured CPU-JAX
+throughput on identical shapes (see BASELINE.md "Measured baselines") —
+a *conservative* proxy: CPU-JAX with fused XLA kernels is faster than
+MXNet-CPU imperative ops, so vs_baseline understates the true ratio.
+The target is >=10x [BASELINE.json:L5].
+
+Run ``python bench.py --cpu-baseline`` to (re)measure the CPU number.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Measured on this machine (see BASELINE.md): CPU-JAX utt/sec on the same
+# batch shapes and model config as the TPU benchmark below.
+CPU_BASELINE_UTT_PER_SEC = 0.433  # measured 2026-08-16, python bench.py --cpu-baseline
+
+# LibriSpeech-100h-like shapes: ~12.8 s utterances, char targets ~7/s.
+BATCH = 16
+SECONDS = 12.8
+MAX_LABELS = 96
+WARMUP_STEPS = 3
+MEASURE_STEPS = 10
+
+
+def build(dp: bool):
+    import jax
+
+    from __graft_entry__ import _flagship_config, _synth_batch
+    from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+    from gluon_e2e_asr_tpu.models.asr import build_model
+    from gluon_e2e_asr_tpu.training.train_step import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    config = _flagship_config(tiny=False)
+    tok = CharTokenizer()
+    model = build_model(config, tok.vocab_size, tok.sos_id, tok.eos_id)
+    tx = make_optimizer(config)
+    batch = _synth_batch(BATCH, SECONDS, MAX_LABELS)
+    state = create_train_state(config, model, tx, batch)
+    step = make_train_step(model, config, tx, mesh=None)
+    return state, step, batch
+
+
+def measure(state, step, batch) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step(state, dev_batch)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, metrics = step(state, dev_batch)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(metrics["loss"]))
+    return BATCH * MEASURE_STEPS / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu-baseline", action="store_true",
+                   help="measure the CPU-JAX stand-in baseline instead")
+    args = p.parse_args()
+
+    if args.cpu_baseline:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        state, step, batch = build(dp=False)
+        ups = measure(state, step, batch)
+        print(f"CPU-JAX baseline: {ups:.3f} utt/s", file=sys.stderr)
+        print(json.dumps({
+            "metric": "train_throughput_cpu_baseline",
+            "value": round(ups, 3),
+            "unit": "utt/s",
+            "vs_baseline": 1.0,
+        }))
+        return
+
+    import jax
+
+    n_chips = max(len(jax.devices()), 1)
+    state, step, batch = build(dp=False)
+    ups = measure(state, step, batch)
+    per_chip = ups  # single-chip benchmark (one real chip on this host)
+    print(
+        f"devices={jax.devices()} utt/s/chip={per_chip:.2f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "train_throughput_utt_per_sec_per_chip",
+        "value": round(per_chip, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(per_chip / CPU_BASELINE_UTT_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

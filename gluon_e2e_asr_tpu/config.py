@@ -1,0 +1,260 @@
+"""Typed configuration system.
+
+Reference-side realization: argparse + yaml scripts [SURVEY.md §2.1 #20,
+INFERRED-med]. New-repo realization: typed dataclasses loaded from yaml,
+one checked-in yaml per milestone config [BASELINE.json:L6-L12].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass
+class DataConfig:
+    """L0 data pipeline [BASELINE.json:L2,L5,L10]."""
+
+    dataset: str = "synthetic"  # "synthetic" | "librispeech"
+    data_dir: str = "testdata"
+    train_manifest: str = ""
+    dev_manifest: str = ""
+    sample_rate: int = 16000
+    # Synthetic dataset knobs (no LibriSpeech on this machine; SURVEY §0).
+    synth_num_train: int = 64
+    synth_num_dev: int = 16
+    synth_min_tokens: int = 3
+    synth_max_tokens: int = 12
+    synth_seed: int = 1234
+    # Bucketed batching: static bucket shapes so each bucket hits a cached
+    # XLA compilation [BASELINE.json:L5 "bucketed padding"].
+    bucket_bounds_sec: Tuple[float, ...] = (2.0, 4.0, 8.0, 16.0)
+    batch_size: int = 16
+    # If >0, scale per-bucket batch size so batch_size*max_len is ~constant
+    # (bounds padding-FLOP waste across buckets).
+    dynamic_batch: bool = False
+    max_label_len: int = 64
+    shuffle: bool = True
+    drop_last: bool = False
+
+
+@dataclass
+class FrontendConfig:
+    """L1 acoustic frontend [BASELINE.json:L5,L8]."""
+
+    sample_rate: int = 16000
+    win_length: int = 400  # 25 ms @ 16 kHz
+    hop_length: int = 160  # 10 ms @ 16 kHz
+    n_fft: int = 512
+    n_mels: int = 80
+    fmin: float = 0.0
+    fmax: Optional[float] = None  # default sample_rate / 2
+    log_floor: float = 1e-10
+    # CMVN [BASELINE.json:L5]: "global" stats file or "utterance" level.
+    cmvn: str = "utterance"  # "global" | "utterance" | "none"
+    # SpecAugment (train only) [BASELINE.json:L5,L8].
+    specaug_freq_masks: int = 2
+    specaug_freq_width: int = 27
+    specaug_time_masks: int = 2
+    specaug_time_width: int = 40
+    # Implementation selector: "jnp" (composed XLA) | "pallas" (fused kernel).
+    impl: str = "jnp"
+
+
+@dataclass
+class ModelConfig:
+    """L3 models [BASELINE.json:L7,L9]."""
+
+    # Encoder: stacked BiLSTM with pyramidal time subsampling.
+    enc_hidden: int = 320
+    enc_layers: int = 3
+    # Per-layer time-subsampling factors (frame-pair concat), e.g. (1, 2, 2)
+    # gives 4x total reduction.
+    enc_subsample: Tuple[int, ...] = (1, 2, 2)
+    enc_dropout: float = 0.0
+    # Decoder (LAS-style attention encoder-decoder) [BASELINE.json:L9].
+    dec_hidden: int = 320
+    dec_layers: int = 1
+    dec_embed: int = 256
+    att_dim: int = 320
+    att_type: str = "loc"  # "dot" | "add" | "loc" (location-aware)
+    loc_conv_channels: int = 10
+    loc_conv_width: int = 100
+    # Compute dtype for matmuls ("bfloat16" rides the MXU; params stay fp32).
+    compute_dtype: str = "float32"
+
+
+@dataclass
+class LossConfig:
+    """L2 losses [BASELINE.json:L5,L9,L10]."""
+
+    # Joint hybrid objective: L = mtl_alpha * L_ctc + (1 - mtl_alpha) * L_att
+    # [SURVEY.md §2.1 #13, INFERRED-high for form].
+    mtl_alpha: float = 0.3
+    label_smoothing: float = 0.1
+    # Scheduled sampling probability of feeding model's own argmax
+    # prediction instead of the gold token [BASELINE.json:L9].
+    scheduled_sampling: float = 0.0
+
+
+@dataclass
+class TrainConfig:
+    """L4 training engine [BASELINE.json:L5,L10]."""
+
+    seed: int = 0
+    num_epochs: int = 10
+    max_steps: int = -1  # if >0, stop after this many optimizer steps
+    optimizer: str = "adam"
+    learning_rate: float = 1e-3
+    warmup_steps: int = 100
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 5.0
+    # Data parallelism over ICI [BASELINE.json:L5,L10].
+    dp: bool = False
+    # Checkpointing / metrics.
+    ckpt_dir: str = "ckpts"
+    keep_ckpts: int = 3
+    ckpt_every_steps: int = 0  # 0 = epoch boundary only
+    metrics_path: str = "metrics.jsonl"
+    log_every_steps: int = 10
+    # Profiling [SURVEY.md §5 tracing]: trace steps [start, stop) to dir.
+    profile_dir: str = ""
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
+    remat_encoder: bool = False
+
+
+@dataclass
+class DecodeConfig:
+    """L5 decoding [BASELINE.json:L7,L11]."""
+
+    method: str = "greedy"  # "greedy" | "beam"
+    beam_size: int = 10
+    # Joint score weight: score = ctc_weight * ctc_prefix + (1-w) * att.
+    ctc_weight: float = 0.3
+    # Max output length as a ratio of encoder frames.
+    maxlen_ratio: float = 0.5
+    minlen_ratio: float = 0.0
+    # Length normalization at finalization [BASELINE.json:L11].
+    length_norm: bool = True
+    output_path: str = "decode.jsonl"
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+    name: str = "default"
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def fingerprint(self) -> str:
+        """Stable hash of the config, stored in checkpoints."""
+        import hashlib
+
+        blob = json.dumps(self.to_dict(), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _coerce(dc_type, value):
+    """Build a dataclass from a plain dict, recursing into nested fields."""
+    if value is None:
+        return dc_type()
+    if not isinstance(value, dict):
+        raise TypeError(f"expected dict for {dc_type.__name__}, got {type(value)}")
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(dc_type)}
+    for k, v in value.items():
+        if k not in fields:
+            raise KeyError(f"unknown config key {dc_type.__name__}.{k}")
+        ftype = fields[k].type
+        if isinstance(v, list):
+            v = tuple(v)
+        kwargs[k] = v
+    return dc_type(**kwargs)
+
+
+def load_config(path: str) -> Config:
+    """Load a yaml (or json) config file into a typed Config."""
+    with open(path) as f:
+        text = f.read()
+    raw = _parse_yaml(text)
+    return config_from_dict(raw)
+
+
+def config_from_dict(raw: Dict[str, Any]) -> Config:
+    sub = {
+        "data": DataConfig,
+        "frontend": FrontendConfig,
+        "model": ModelConfig,
+        "loss": LossConfig,
+        "train": TrainConfig,
+        "decode": DecodeConfig,
+    }
+    kwargs: Dict[str, Any] = {}
+    for k, v in (raw or {}).items():
+        if k in sub:
+            kwargs[k] = _coerce(sub[k], v)
+        elif k == "name":
+            kwargs[k] = v
+        else:
+            raise KeyError(f"unknown top-level config key: {k}")
+    return Config(**kwargs)
+
+
+def _parse_yaml(text: str) -> Dict[str, Any]:
+    """Parse config yaml. Uses PyYAML when available, else a minimal parser
+    sufficient for our two-level key: value config files (no external deps)."""
+    try:
+        import yaml  # type: ignore
+
+        return yaml.safe_load(text) or {}
+    except ImportError:
+        pass
+    root: Dict[str, Any] = {}
+    stack: List[Tuple[int, Dict[str, Any]]] = [(0, root)]
+    for line in text.splitlines():
+        stripped = line.split("#", 1)[0].rstrip()
+        if not stripped.strip():
+            continue
+        indent = len(stripped) - len(stripped.lstrip())
+        key, _, val = stripped.strip().partition(":")
+        while stack and indent < stack[-1][0]:
+            stack.pop()
+        cur = stack[-1][1]
+        val = val.strip()
+        if not val:
+            child: Dict[str, Any] = {}
+            cur[key] = child
+            stack.append((indent + 1, child))
+        else:
+            cur[key] = _parse_scalar(val)
+    return root
+
+
+def _parse_scalar(val: str) -> Any:
+    if val.startswith("[") and val.endswith("]"):
+        inner = val[1:-1].strip()
+        if not inner:
+            return []
+        return [_parse_scalar(x.strip()) for x in inner.split(",")]
+    low = val.lower()
+    if low in ("true", "yes"):
+        return True
+    if low in ("false", "no"):
+        return False
+    if low in ("null", "none", "~"):
+        return None
+    for cast in (int, float):
+        try:
+            return cast(val)
+        except ValueError:
+            continue
+    return val.strip("'\"")

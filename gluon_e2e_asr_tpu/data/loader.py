@@ -1,0 +1,118 @@
+"""Host-side batch assembly: pad to bucket shape, feed to device.
+
+Reference-side realization: Gluon ``DataLoader`` + bucketing sampler,
+with MXNet's C++ engine doing the packing [SURVEY.md §1 L0,
+INFERRED-high]. New-repo realization: a Python loader whose hot path —
+padding/packing waveforms and labels into static bucket-shaped arrays —
+is implemented in native C++ (``native/pack_batch.cpp``, loaded via
+ctypes) with a NumPy fallback [SURVEY.md §2.2].
+
+Every batch is padded to the bucket's static (batch, samples, labels)
+shape so each bucket compiles exactly one XLA program
+[BASELINE.json:L5 "bucketed padding"].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from gluon_e2e_asr_tpu.data.manifest import Utterance, load_audio
+from gluon_e2e_asr_tpu.data.sampler import BucketSampler, BucketSpec
+from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+
+
+@dataclass
+class Batch:
+    """One padded bucket batch. All arrays are host numpy; the jitted step
+    consumes them directly (JAX stages host->HBM)."""
+
+    audio: np.ndarray  # [B, S] float32
+    audio_len: np.ndarray  # [B] int32 (0 for pad rows)
+    labels: np.ndarray  # [B, L] int32, padded with blank(0)
+    label_len: np.ndarray  # [B] int32
+    utt_ids: List[str]
+    bucket: int
+
+    @property
+    def num_real(self) -> int:
+        return int((self.audio_len > 0).sum())
+
+
+def _pack_python(
+    waves: Sequence[np.ndarray], max_samples: int, batch_size: int
+) -> tuple:
+    audio = np.zeros((batch_size, max_samples), np.float32)
+    lens = np.zeros((batch_size,), np.int32)
+    for i, w in enumerate(waves):
+        n = min(len(w), max_samples)
+        audio[i, :n] = w[:n]
+        lens[i] = n
+    return audio, lens
+
+
+def _get_native_packer():
+    try:
+        from gluon_e2e_asr_tpu.utils.native import pack_waves
+
+        return pack_waves
+    except Exception:
+        return None
+
+
+class DataLoader:
+    """Iterates (epoch) -> padded Batch objects in sampler order."""
+
+    def __init__(
+        self,
+        utts: Sequence[Utterance],
+        sampler: BucketSampler,
+        tokenizer: CharTokenizer,
+        sample_rate: int = 16000,
+        use_native: bool = True,
+    ):
+        self.utts = list(utts)
+        self.sampler = sampler
+        self.tokenizer = tokenizer
+        self.sample_rate = sample_rate
+        self._native = _get_native_packer() if use_native else None
+        # Synthetic audio is cheap; cache decoded waveforms for reuse across
+        # epochs (they are small: seconds of float32).
+        self._wave_cache: Dict[int, np.ndarray] = {}
+
+    def _wave(self, idx: int) -> np.ndarray:
+        w = self._wave_cache.get(idx)
+        if w is None:
+            w = load_audio(self.utts[idx], self.sample_rate)
+            self._wave_cache[idx] = w
+        return w
+
+    def epoch(self, epoch: int) -> Iterator[Batch]:
+        for bucket, idxs in self.sampler.epoch_batches(epoch):
+            yield self.make_batch(bucket, idxs)
+
+    def make_batch(self, bucket: int, idxs: Sequence[int]) -> Batch:
+        spec: BucketSpec = self.sampler.specs[bucket]
+        waves = [self._wave(i) for i in idxs]
+        if self._native is not None:
+            audio, audio_len = self._native(waves, spec.max_samples, spec.batch_size)
+        else:
+            audio, audio_len = _pack_python(waves, spec.max_samples, spec.batch_size)
+        labels = np.zeros((spec.batch_size, spec.max_labels), np.int32)
+        label_len = np.zeros((spec.batch_size,), np.int32)
+        utt_ids = []
+        for row, i in enumerate(idxs):
+            ids = self.tokenizer.encode(self.utts[i].text)[: spec.max_labels]
+            labels[row, : len(ids)] = ids
+            label_len[row] = len(ids)
+            utt_ids.append(self.utts[i].utt_id)
+        return Batch(
+            audio=audio,
+            audio_len=audio_len,
+            labels=labels,
+            label_len=label_len,
+            utt_ids=utt_ids,
+            bucket=bucket,
+        )

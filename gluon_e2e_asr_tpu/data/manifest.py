@@ -1,0 +1,188 @@
+"""Dataset manifests + synthetic audio fixture generation.
+
+Reference-side realization: Kaldi-style ``data.json``/scp manifests
+enumerating (audio path, transcript, duration) [SURVEY.md §2.1 #1,
+INFERRED-med]. New-repo realization: JSONL manifests, one record per
+utterance, plus a deterministic synthetic-audio generator used for
+tests and local benchmarks (no LibriSpeech on this machine — verified
+by full-disk search, SURVEY.md §0).
+
+Synthetic audio design: each character is rendered as a short tone
+segment at a character-specific fundamental (plus one harmonic) with an
+amplitude envelope and low deterministic noise. This gives waveforms
+whose frame-level spectral content genuinely encodes the transcript, so
+overfit/integration tests exercise the real acoustic mapping
+[SURVEY.md §4 "Integration: overfit"].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import wave
+from dataclasses import dataclass, asdict
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer, DEFAULT_ALPHABET
+
+
+@dataclass
+class Utterance:
+    utt_id: str
+    text: str
+    duration: float  # seconds
+    audio_path: str = ""  # empty for in-memory synthetic audio
+    # For synthetic data, the waveform is regenerated on demand from the
+    # seed rather than stored, keeping manifests tiny and deterministic.
+    synth_seed: int = -1
+
+
+# ---------------------------------------------------------------------------
+# Synthetic waveform generation
+# ---------------------------------------------------------------------------
+
+_SEG_SEC = 0.12  # per-character tone duration
+_GAP_SEC = 0.02  # inter-character gap
+
+
+def _char_freq(ch: str, alphabet: str) -> float:
+    """Character-specific fundamental, spread over 200..3200 Hz."""
+    idx = alphabet.index(ch) if ch in alphabet else 0
+    n = max(len(alphabet), 1)
+    return 200.0 + 3000.0 * (idx + 1) / (n + 1)
+
+
+def synth_waveform(
+    text: str,
+    seed: int,
+    sample_rate: int = 16000,
+    alphabet: str = DEFAULT_ALPHABET,
+) -> np.ndarray:
+    """Render ``text`` to a float32 waveform in [-1, 1]. Deterministic."""
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    seg_n = int(_SEG_SEC * sample_rate)
+    gap_n = int(_GAP_SEC * sample_rate)
+    pieces: List[np.ndarray] = [np.zeros(gap_n, np.float32)]
+    for ch in text.lower():
+        f0 = _char_freq(ch, alphabet)
+        # small deterministic jitter per occurrence
+        f = f0 * (1.0 + 0.01 * rng.randn())
+        t = np.arange(seg_n, dtype=np.float32) / sample_rate
+        env = np.hanning(seg_n).astype(np.float32)
+        tone = 0.6 * np.sin(2 * np.pi * f * t) + 0.25 * np.sin(2 * np.pi * 2 * f * t)
+        pieces.append((env * tone).astype(np.float32))
+        pieces.append(np.zeros(gap_n, np.float32))
+    wav = np.concatenate(pieces)
+    wav = wav + 0.003 * rng.randn(len(wav)).astype(np.float32)
+    return np.clip(wav, -1.0, 1.0).astype(np.float32)
+
+
+def build_synthetic_manifest(
+    num_utts: int,
+    seed: int,
+    min_tokens: int = 3,
+    max_tokens: int = 12,
+    alphabet: str = DEFAULT_ALPHABET,
+    sample_rate: int = 16000,
+    prefix: str = "synth",
+) -> List[Utterance]:
+    """Deterministic synthetic utterance list (text + seed; audio on demand)."""
+    rng = np.random.RandomState(seed)
+    # Use only "letter" characters for text (skip leading space/quote chars).
+    letters = [c for c in alphabet if c.isalpha()]
+    utts = []
+    for i in range(num_utts):
+        n = int(rng.randint(min_tokens, max_tokens + 1))
+        chars = [letters[rng.randint(len(letters))] for _ in range(n)]
+        # occasionally insert a space to exercise the space token
+        if n >= 6:
+            chars[n // 2] = " "
+        text = "".join(chars).strip()
+        dur = _GAP_SEC + len(text) * (_SEG_SEC + _GAP_SEC)
+        utts.append(
+            Utterance(
+                utt_id=f"{prefix}-{i:05d}",
+                text=text,
+                duration=round(dur, 4),
+                synth_seed=seed * 100003 + i,
+            )
+        )
+    return utts
+
+
+# ---------------------------------------------------------------------------
+# Manifest IO + audio loading
+# ---------------------------------------------------------------------------
+
+
+def save_manifest(utts: Sequence[Utterance], path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for u in utts:
+            f.write(json.dumps(asdict(u)) + "\n")
+
+
+def load_manifest(path: str) -> List[Utterance]:
+    utts = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                utts.append(Utterance(**json.loads(line)))
+    return utts
+
+
+def load_audio(utt: Utterance, sample_rate: int = 16000) -> np.ndarray:
+    """Return float32 waveform for an utterance (synthetic or wav file)."""
+    if utt.synth_seed >= 0:
+        return synth_waveform(utt.text, utt.synth_seed, sample_rate)
+    if utt.audio_path.endswith(".wav"):
+        with wave.open(utt.audio_path, "rb") as w:
+            assert w.getframerate() == sample_rate, (
+                f"{utt.audio_path}: rate {w.getframerate()} != {sample_rate}"
+            )
+            raw = w.readframes(w.getnframes())
+            data = np.frombuffer(raw, dtype=np.int16)
+            if w.getnchannels() > 1:
+                data = data.reshape(-1, w.getnchannels()).mean(axis=1)
+            return (data.astype(np.float32) / 32768.0).copy()
+    if utt.audio_path.endswith(".npy"):
+        return np.load(utt.audio_path).astype(np.float32)
+    raise ValueError(f"unsupported audio format: {utt.audio_path!r}")
+
+
+def build_librispeech_manifest(root: str, split: str) -> List[Utterance]:
+    """Walk a LibriSpeech split directory (``root/split/spk/chap/*.trans.txt``)
+    and build a manifest. Audio must be pre-converted to 16 kHz wav (this
+    image ships no flac decoder). [SURVEY.md §2.1 #1]"""
+    utts: List[Utterance] = []
+    split_dir = os.path.join(root, split)
+    for dirpath, _, filenames in os.walk(split_dir):
+        for fn in filenames:
+            if not fn.endswith(".trans.txt"):
+                continue
+            with open(os.path.join(dirpath, fn)) as f:
+                for line in f:
+                    utt_id, _, text = line.strip().partition(" ")
+                    for ext in (".wav", ".npy"):
+                        ap = os.path.join(dirpath, utt_id + ext)
+                        if os.path.exists(ap):
+                            dur = _probe_duration(ap)
+                            utts.append(
+                                Utterance(utt_id=utt_id, text=text.lower(),
+                                          duration=dur, audio_path=ap)
+                            )
+                            break
+    utts.sort(key=lambda u: u.utt_id)
+    return utts
+
+
+def _probe_duration(path: str, sample_rate: int = 16000) -> float:
+    if path.endswith(".wav"):
+        with wave.open(path, "rb") as w:
+            return w.getnframes() / w.getframerate()
+    if path.endswith(".npy"):
+        return float(np.load(path, mmap_mode="r").shape[0]) / sample_rate
+    return 0.0

@@ -1,0 +1,121 @@
+"""Length-bucketed batch sampler with static bucket shapes.
+
+Reference-side realization: Gluon ``FixedBucketSampler``-style grouping
+[SURVEY.md §2.1 #3, INFERRED-high]. New-repo realization: utterances are
+assigned to duration buckets with *static* padded shapes so every batch
+from a bucket hits one cached XLA compilation — the bucket-shape
+economics trade padding waste against compile count
+[BASELINE.json:L5 "bucketed padding", L10 "bucketed batching";
+SURVEY.md §7 hard part 4].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Sequence
+
+import numpy as np
+
+from gluon_e2e_asr_tpu.data.manifest import Utterance
+
+
+@dataclass(frozen=True)
+class BucketSpec:
+    """Static shape contract for one bucket."""
+
+    max_samples: int  # padded audio length (samples)
+    max_labels: int  # padded label length (tokens)
+    batch_size: int
+
+    @property
+    def shape_key(self) -> tuple:
+        return (self.batch_size, self.max_samples, self.max_labels)
+
+
+def make_bucket_specs(
+    bounds_sec: Sequence[float],
+    sample_rate: int,
+    batch_size: int,
+    max_label_len: int,
+    hop_length: int = 160,
+    dynamic_batch: bool = False,
+) -> List[BucketSpec]:
+    """One BucketSpec per duration bound. Audio lengths are rounded up to a
+    whole number of frontend hops so downstream frame counts are exact.
+    With ``dynamic_batch``, per-bucket batch size scales inversely with the
+    bound so each batch carries roughly constant audio samples."""
+    specs = []
+    largest = bounds_sec[-1]
+    for b in bounds_sec:
+        n = int(round(b * sample_rate))
+        n = ((n + hop_length - 1) // hop_length) * hop_length
+        bs = batch_size
+        if dynamic_batch:
+            bs = max(1, int(batch_size * largest / b))
+        # Label budget scales with duration (chars are ~7/sec in LibriSpeech;
+        # synthetic data is ~7 chars/sec too).
+        ml = min(max_label_len, max(8, int(np.ceil(b * 10))))
+        specs.append(BucketSpec(max_samples=n, max_labels=ml, batch_size=bs))
+    return specs
+
+
+class BucketSampler:
+    """Assign utterances to buckets; yield per-epoch batches of indices.
+
+    Determinism: the epoch shuffle is keyed by (seed, epoch) so resume
+    reproduces the uninterrupted batch order [SURVEY.md §5 checkpoint].
+    """
+
+    def __init__(
+        self,
+        utts: Sequence[Utterance],
+        specs: Sequence[BucketSpec],
+        sample_rate: int,
+        seed: int = 0,
+        shuffle: bool = True,
+        drop_last: bool = False,
+    ):
+        self.specs = list(specs)
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.assignments: List[List[int]] = [[] for _ in self.specs]
+        self.skipped: List[int] = []
+        for i, u in enumerate(utts):
+            n_samples = int(round(u.duration * sample_rate))
+            placed = False
+            for b, spec in enumerate(self.specs):
+                if n_samples <= spec.max_samples and len(u.text) <= spec.max_labels:
+                    self.assignments[b].append(i)
+                    placed = True
+                    break
+            if not placed:
+                self.skipped.append(i)
+
+    def num_batches(self) -> int:
+        total = 0
+        for b, idxs in enumerate(self.assignments):
+            bs = self.specs[b].batch_size
+            if self.drop_last:
+                total += len(idxs) // bs
+            else:
+                total += (len(idxs) + bs - 1) // bs
+        return total
+
+    def epoch_batches(self, epoch: int) -> Iterator[tuple]:
+        """Yield (bucket_index, [utt indices]) batches for one epoch."""
+        rng = np.random.RandomState((self.seed * 1000003 + epoch) & 0x7FFFFFFF)
+        all_batches = []
+        for b, idxs in enumerate(self.assignments):
+            order = np.array(idxs, dtype=np.int64)
+            if self.shuffle:
+                rng.shuffle(order)
+            bs = self.specs[b].batch_size
+            for s in range(0, len(order), bs):
+                chunk = order[s : s + bs]
+                if len(chunk) < bs and self.drop_last:
+                    continue
+                all_batches.append((b, chunk.tolist()))
+        if self.shuffle:
+            rng.shuffle(all_batches)
+        yield from all_batches

@@ -1,0 +1,132 @@
+"""Decode CLI: ``python -m gluon_e2e_asr_tpu.decode --config <yaml> --ckpt <path>``.
+
+The public decode/recognize entry point [BASELINE.json:L5; SURVEY.md
+§3.2]: restore params + vocab, run bucketed eval batches through the
+jitted decoder (greedy or batched beam with CTC prefix scoring), emit
+per-utterance JSONL {utt_id, hyp, ref, score, latency_s} for the
+fidelity harness [SURVEY.md §2.1 #22], then report WER/CER and p50
+latency [BASELINE.json:L2].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from gluon_e2e_asr_tpu.utils.platform import configure_from_env
+
+configure_from_env()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gluon_e2e_asr_tpu.config import Config, load_config
+from gluon_e2e_asr_tpu.data.loader import DataLoader
+from gluon_e2e_asr_tpu.data.sampler import BucketSampler, make_bucket_specs
+from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+from gluon_e2e_asr_tpu.decoding.greedy import ids_to_texts, make_greedy_decoder
+from gluon_e2e_asr_tpu.eval.metrics import cer, wer
+from gluon_e2e_asr_tpu.models.asr import build_model
+from gluon_e2e_asr_tpu.training.checkpoint import restore_checkpoint
+from gluon_e2e_asr_tpu.training.train_step import (
+    create_train_state,
+    make_optimizer,
+)
+from gluon_e2e_asr_tpu.training.trainer import build_datasets
+from gluon_e2e_asr_tpu.utils.logging import JsonlLogger, percentile
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native E2E ASR decoding")
+    p.add_argument("--config", type=str, default="")
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--output", type=str, default="")
+    p.add_argument("--method", type=str, default="",
+                   help="override decode.method (greedy|beam)")
+    args = p.parse_args(argv)
+
+    config = load_config(args.config) if args.config else Config()
+    if args.method:
+        config.decode.method = args.method
+    out_path = args.output or config.decode.output_path
+
+    tokenizer = CharTokenizer()
+    _, dev_utts = build_datasets(config)
+    specs = make_bucket_specs(
+        config.data.bucket_bounds_sec, config.data.sample_rate,
+        config.data.batch_size, config.data.max_label_len,
+        config.frontend.hop_length,
+    )
+    sampler = BucketSampler(dev_utts, specs, config.data.sample_rate,
+                            seed=0, shuffle=False)
+    loader = DataLoader(dev_utts, sampler, tokenizer, config.data.sample_rate)
+
+    model = build_model(config, tokenizer.vocab_size, tokenizer.sos_id,
+                        tokenizer.eos_id)
+    tx = make_optimizer(config)
+    # Template state for restore (shapes from the first dev batch).
+    first = next(iter(loader.epoch(0)))
+    template = create_train_state(
+        config, model,
+        tx,
+        {"audio": first.audio, "audio_len": first.audio_len,
+         "labels": first.labels, "label_len": first.label_len},
+    )
+    state, cmvn_stats, meta = restore_checkpoint(args.ckpt, template)
+    if meta.get("vocab"):
+        tokenizer = CharTokenizer.from_json(meta["vocab"])
+
+    if config.decode.method == "beam":
+        from gluon_e2e_asr_tpu.decoding.beam import make_beam_decoder
+
+        decoder = make_beam_decoder(model, config, tokenizer, cmvn_stats)
+    else:
+        decoder = make_greedy_decoder(model, config, cmvn_stats)
+
+    logger = JsonlLogger(out_path, also_stdout=False)
+    refs, hyps, latencies = [], [], []
+    by_id = {u.utt_id: u for u in dev_utts}
+    for b in loader.epoch(0):
+        t0 = time.perf_counter()
+        if config.decode.method == "beam":
+            texts, scores = decoder(state.params, jnp.asarray(b.audio),
+                                    jnp.asarray(b.audio_len))
+        else:
+            ids, lens = decoder(state.params, jnp.asarray(b.audio),
+                                jnp.asarray(b.audio_len))
+            jax.block_until_ready(ids)
+            texts = ids_to_texts(np.asarray(ids), np.asarray(lens), tokenizer)
+            scores = [0.0] * len(texts)
+        dt = time.perf_counter() - t0
+        per_utt = dt / max(b.num_real, 1)
+        for row, utt_id in enumerate(b.utt_ids):
+            ref = by_id[utt_id].text
+            refs.append(ref)
+            hyps.append(texts[row])
+            latencies.append(per_utt)
+            logger.log({
+                "utt_id": utt_id,
+                "hyp": texts[row],
+                "ref": ref,
+                "score": float(scores[row]),
+                "latency_s": round(per_utt, 5),
+            })
+    result = {
+        "event": "decode_done",
+        "method": config.decode.method,
+        "num_utts": len(refs),
+        "wer": round(wer(refs, hyps), 4),
+        "cer": round(cer(refs, hyps), 4),
+        "p50_latency_s": round(percentile(latencies, 50), 5),
+        "output": out_path,
+    }
+    print(json.dumps(result))
+    logger.close()
+    return result
+
+
+if __name__ == "__main__":
+    main()

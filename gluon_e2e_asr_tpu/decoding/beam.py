@@ -1,0 +1,358 @@
+"""Batched beam search with CTC prefix scoring + length normalization.
+
+Reference-side realization: a per-utterance Python beam loop
+[SURVEY.md §2.1 #17, INFERRED-high; canonical Watanabe-style hybrid
+decoding]. New-repo realization prescribed by [BASELINE.json:L5,L11]:
+a *batched, jitted* beam kernel —
+
+  * fixed beam width K, vectorized over (batch, beam, vocab);
+  * CTC prefix scores maintained as (nonblank, blank)-ending log-prob
+    pairs r = (r_n, r_b) per hypothesis over encoder time, updated for
+    ALL vocabulary extensions at once by a ``lax.scan`` over time
+    (the CTCPrefixScoreTH-style vectorization of [PAPERS.md:L7]
+    "Vectorization of hypotheses and speech for faster beam search",
+    with batched-CTC prior art [PAPERS.md:L5,L6,L8,L9]);
+  * one ``lax.scan`` over output steps; all shapes static;
+  * joint ranking score = (1-w) * att_logprob_sum + w * ctc_prefix;
+  * eos extensions are diverted into a fixed-size finished buffer with
+    length normalization at finalization [BASELINE.json:L11];
+  * per-sample max output length (maxlen_ratio * enc_len) force-closes
+    beams, so one compiled program serves every utterance in a bucket.
+
+CTC prefix recursion (log space), extending prefix g by token c:
+  phi[t]   = logaddexp(r_b(g)[t], c == last(g) ? -inf : r_n(g)[t])
+  r_n(h)[t] = logaddexp(r_n(h)[t-1], phi[t-1]) + x[t, c]
+  r_b(h)[t] = logaddexp(r_b(h)[t-1], r_n(h)[t-1]) + x[t, blank]
+  psi(h)    = logsumexp_t(phi[t-1] + x[t, c])
+with phi[-1] = 0 for the empty prefix (mass 1 before any emission),
+-inf otherwise; and score(eos | g) = full CTC probability of g
+= logaddexp(r_n(g)[T_b-1], r_b(g)[T_b-1]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gluon_e2e_asr_tpu.config import Config
+from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+from gluon_e2e_asr_tpu.frontend.features import frontend_apply
+from gluon_e2e_asr_tpu.models.asr import ASRModel
+
+NEG_INF = -1.0e30
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    m = jnp.maximum(m, NEG_INF)  # keep -inf - -inf out of exp
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+
+
+def _ctc_extension_scores(
+    ctc_logp: jnp.ndarray,  # [B, T, V] log-softmax of CTC head
+    enc_len: jnp.ndarray,  # [B]
+    r_prev: jnp.ndarray,  # [B, K, T, 2] (r_n, r_b) of current prefixes
+    last_tok: jnp.ndarray,  # [B, K] last token of each prefix
+    is_empty: jnp.ndarray,  # [B, K] bool: prefix is empty
+    blank_id: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Scores for extending every (batch, beam) prefix by every token.
+
+    Returns (psi [B,K,V], r_new [T,B,K,V,2], full_prob [B,K]).
+    """
+    B, T, V = ctc_logp.shape
+    K = r_prev.shape[1]
+    xs = jnp.swapaxes(ctc_logp, 0, 1)[:, :, None, :]  # [T,B,1,V]
+    xb = xs[..., blank_id : blank_id + 1]  # [T,B,1,1]
+    tmask = (jnp.arange(T)[:, None] < enc_len[None, :])[:, :, None, None]
+
+    # r(g) at t-1, prepended with the virtual t=-1 row:
+    #   empty prefix: (r_n, r_b) = (-inf, 0); otherwise (-inf, -inf).
+    r_g = jnp.moveaxis(r_prev, 2, 0)  # [T,B,K,2]
+    rm1 = jnp.stack(
+        [
+            jnp.full((B, K), NEG_INF),
+            jnp.where(is_empty, 0.0, NEG_INF),
+        ],
+        axis=-1,
+    )  # [B,K,2]
+    r_g_shift = jnp.concatenate([rm1[None], r_g[:-1]], axis=0)  # [T,B,K,2]
+
+    same_as_last = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, K, V), 2) == last_tok[..., None]
+    )
+
+    def t_step(carry, inp):
+        r_n_h, r_b_h, psi = carry  # [B,K,V]
+        x_t, xb_t, r_g_tm1, m_t = inp
+        r_n_g, r_b_g = r_g_tm1[..., 0:1], r_g_tm1[..., 1:2]  # [B,K,1]
+        phi = _logaddexp(r_b_g, jnp.where(same_as_last, NEG_INF, r_n_g))
+        r_n_new = _logaddexp(r_n_h, phi) + x_t
+        r_b_new = _logaddexp(r_b_h, r_n_h) + xb_t
+        psi_new = _logaddexp(psi, phi + x_t)
+        r_n_h2 = jnp.where(m_t, r_n_new, r_n_h)
+        r_b_h2 = jnp.where(m_t, r_b_new, r_b_h)
+        psi2 = jnp.where(m_t, psi_new, psi)
+        return (r_n_h2, r_b_h2, psi2), jnp.stack([r_n_h2, r_b_h2], axis=-1)
+
+    init = (
+        jnp.full((B, K, V), NEG_INF),
+        jnp.full((B, K, V), NEG_INF),
+        jnp.full((B, K, V), NEG_INF),
+    )
+    (_, _, psi), r_new = jax.lax.scan(
+        t_step, init, (xs, xb, r_g_shift, tmask)
+    )
+    # Full CTC probability of the *current* prefix g (for eos scoring).
+    t_last = jnp.maximum(enc_len - 1, 0)  # [B]
+    r_at_end = jnp.take_along_axis(
+        r_prev, t_last[:, None, None, None].astype(jnp.int32), axis=2
+    )[:, :, 0]  # [B,K,2]
+    full_prob = _logaddexp(r_at_end[..., 0], r_at_end[..., 1])
+    # Empty prefix full prob: all-blank path = r_b component (already in r).
+    return psi, r_new, full_prob
+
+
+def make_beam_decoder(
+    model: ASRModel,
+    config: Config,
+    tokenizer: CharTokenizer,
+    cmvn_stats=None,
+) -> Callable:
+    """Build the jitted batched beam decoder.
+
+    Returns fn(params, audio, audio_len) -> (texts: List[str], scores).
+    The device portion is fully jitted; the host only detokenizes.
+    """
+    dc = config.decode
+    K = dc.beam_size
+    w = float(dc.ctc_weight)
+    blank_id = tokenizer.blank_id
+    sos_id = tokenizer.sos_id
+    eos_id = tokenizer.eos_id
+    unk_id = tokenizer.unk_id
+    V = tokenizer.vocab_size
+    if not model.use_decoder:
+        raise ValueError("beam decoding requires the attention decoder")
+
+    @jax.jit
+    def device_fn(params, audio, audio_len):
+        feats, feat_len = frontend_apply(
+            config.frontend, audio, audio_len, train=False,
+            cmvn_stats=cmvn_stats,
+        )
+        enc, enc_len, ctc_logits = model.apply(
+            {"params": params}, feats, feat_len, method=model.encode
+        )
+        B, T, D = enc.shape
+        Lmax = max(int(dc.maxlen_ratio * T), 4)
+        ctc_logp = jax.nn.log_softmax(ctc_logits, axis=-1)
+
+        enc_mask = (jnp.arange(T)[None, :] < enc_len[:, None]).astype(
+            jnp.float32
+        )
+        # Replicate encoder outputs across beams: [B*K, T, *].
+        enc_rep = jnp.repeat(enc, K, axis=0)
+        enc_mask_rep = jnp.repeat(enc_mask, K, axis=0)
+        enc_proj = model.apply(
+            {"params": params}, enc, method=model.decoder_precompute
+        )
+        enc_proj_rep = jnp.repeat(enc_proj, K, axis=0)
+        dec_state0 = model.apply(
+            {"params": params}, B * K, T, method=model.decoder_init_state
+        )
+
+        maxlen = jnp.maximum(
+            (dc.maxlen_ratio * enc_len.astype(jnp.float32)).astype(jnp.int32), 1
+        )
+        minlen = (dc.minlen_ratio * enc_len.astype(jnp.float32)).astype(jnp.int32)
+
+        # CTC prefix state of the empty prefix: r_b[t] = sum_{tau<=t} x[tau,b].
+        xb_cum = jnp.cumsum(ctc_logp[:, :, blank_id], axis=1)  # [B,T]
+        r0 = jnp.stack(
+            [jnp.full((B, T), NEG_INF), xb_cum], axis=-1
+        )[:, None, :, :].repeat(K, axis=1)  # [B,K,T,2]
+
+        init = {
+            "tokens": jnp.zeros((B, K, Lmax), jnp.int32),
+            "hyp_len": jnp.zeros((B, K), jnp.int32),
+            "att_sum": jnp.where(
+                jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+            ).repeat(B, axis=0).reshape(B, K),
+            "r": r0,
+            "last_tok": jnp.full((B, K), -1, jnp.int32),
+            "dec_state": dec_state0,
+            "fin_tokens": jnp.zeros((B, K, Lmax), jnp.int32),
+            "fin_len": jnp.zeros((B, K), jnp.int32),
+            "fin_score": jnp.full((B, K), NEG_INF),
+        }
+
+        def step(carry, i):
+            # ---- attention decoder step for all (B*K) beams ----
+            tok_in = jnp.where(
+                carry["last_tok"] < 0, sos_id, carry["last_tok"]
+            ).reshape(B * K)
+            dec_state, logits = model.apply(
+                {"params": params},
+                carry["dec_state"],
+                tok_in,
+                enc_rep,
+                enc_proj_rep,
+                enc_mask_rep,
+                method=model.decoder_step,
+            )
+            att_logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+
+            # ---- CTC prefix extension scores ----
+            if w > 0.0:
+                psi, r_new, full_prob = _ctc_extension_scores(
+                    ctc_logp, enc_len, carry["r"], carry["last_tok"],
+                    carry["last_tok"] < 0, blank_id,
+                )
+            else:
+                psi = jnp.zeros((B, K, V))
+                r_new = None
+                full_prob = jnp.zeros((B, K))
+
+            att_total = carry["att_sum"][..., None] + att_logp  # [B,K,V]
+            joint = (1.0 - w) * att_total + w * psi  # [B,K,V]
+
+            # ---- eos candidates -> finished buffer (length-normalized) ----
+            eos_score = (1.0 - w) * att_total[..., eos_id] + w * full_prob
+            new_len = carry["hyp_len"] + 1  # includes eos
+            if dc.length_norm:
+                fin_cand_score = eos_score / new_len.astype(jnp.float32)
+            else:
+                fin_cand_score = eos_score
+            # respect per-sample minlen; dead beams never finalize
+            fin_cand_score = jnp.where(
+                (carry["hyp_len"] >= minlen[:, None])
+                & (carry["att_sum"] > NEG_INF / 2),
+                fin_cand_score,
+                NEG_INF,
+            )
+            # merge (K finished + K candidates) -> keep top K
+            all_scores = jnp.concatenate(
+                [carry["fin_score"], fin_cand_score], axis=1
+            )  # [B,2K]
+            all_tokens = jnp.concatenate(
+                [carry["fin_tokens"], carry["tokens"]], axis=1
+            )  # [B,2K,Lmax]
+            all_len = jnp.concatenate(
+                [carry["fin_len"], carry["hyp_len"]], axis=1
+            )
+            top_fin, fin_idx = jax.lax.top_k(all_scores, K)
+            fin_tokens = jnp.take_along_axis(
+                all_tokens, fin_idx[..., None], axis=1
+            )
+            fin_len = jnp.take_along_axis(all_len, fin_idx, axis=1)
+
+            # ---- continuation candidates: mask specials + force-close ----
+            cont = joint
+            # blank/sos/eos/unk never continue a hypothesis (eos is handled
+            # by the finished buffer; unk is excluded from generation)
+            bad = jnp.zeros((V,), bool).at[blank_id].set(True)
+            bad = bad.at[sos_id].set(True).at[eos_id].set(True)
+            bad = bad.at[unk_id].set(True)
+            cont = jnp.where(bad[None, None, :], NEG_INF, cont)
+            # beams of samples past maxlen cannot continue
+            past = (i + 1 >= maxlen)[:, None, None]
+            cont = jnp.where(past, NEG_INF, cont)
+            # hypotheses may not exceed the static token buffer
+            cont = jnp.where(
+                (carry["hyp_len"] >= Lmax)[..., None], NEG_INF, cont
+            )
+
+            # ---- top-K over K*V ----
+            flat = cont.reshape(B, K * V)
+            top_scores, top_idx = jax.lax.top_k(flat, K)  # [B,K]
+            parent = top_idx // V
+            token = top_idx % V
+
+            take = lambda x: jnp.take_along_axis(x, parent, axis=1)
+            tokens = jnp.take_along_axis(
+                carry["tokens"], parent[..., None], axis=1
+            )
+            hyp_len = take(carry["hyp_len"])
+            tokens = jnp.where(
+                (jnp.arange(Lmax)[None, None, :] == hyp_len[..., None])
+                & (top_scores[..., None] > NEG_INF / 2),
+                token[..., None],
+                tokens,
+            )
+            hyp_len = hyp_len + (top_scores > NEG_INF / 2)
+            att_sum = jnp.take_along_axis(
+                att_total.reshape(B, K * V), top_idx, axis=1
+            )
+            att_sum = jnp.where(top_scores > NEG_INF / 2, att_sum, NEG_INF)
+
+            if w > 0.0:
+                # gather r for chosen (parent, token): [T,B,K,V,2]
+                r_flat = jnp.moveaxis(r_new, 0, 3).reshape(B, K * V, T, 2)
+                r = jnp.take_along_axis(
+                    r_flat, top_idx[..., None, None], axis=1
+                )
+            else:
+                r = carry["r"]
+
+            # gather decoder state for parents (flattened B*K indexing)
+            flat_parent = (
+                parent + jnp.arange(B)[:, None] * K
+            ).reshape(B * K)
+
+            def gather_state(x):
+                if x.ndim >= 2 and x.shape[-2] == B * K and x.ndim == 3:
+                    # [layers, B*K, H]
+                    return x[:, flat_parent]
+                return x[flat_parent]
+
+            new_dec_state = {
+                "h": dec_state["h"][:, flat_parent],
+                "c": dec_state["c"][:, flat_parent],
+                "att_w": dec_state["att_w"][flat_parent],
+                "context": dec_state["context"][flat_parent],
+            }
+
+            new_carry = {
+                "tokens": tokens,
+                "hyp_len": hyp_len,
+                "att_sum": att_sum,
+                "r": r,
+                "last_tok": token,
+                "dec_state": new_dec_state,
+                "fin_tokens": fin_tokens,
+                "fin_len": fin_len,
+                "fin_score": top_fin,
+            }
+            return new_carry, None
+
+        final, _ = jax.lax.scan(step, init, jnp.arange(Lmax))
+        # Best finished hypothesis per sample (buffer is already sorted by
+        # top_k each step; take argmax to be safe).
+        best = jnp.argmax(final["fin_score"], axis=1)  # [B]
+        best_tokens = jnp.take_along_axis(
+            final["fin_tokens"], best[:, None, None], axis=1
+        )[:, 0]
+        best_len = jnp.take_along_axis(final["fin_len"], best[:, None], axis=1)[
+            :, 0
+        ]
+        best_score = jnp.take_along_axis(
+            final["fin_score"], best[:, None], axis=1
+        )[:, 0]
+        return best_tokens, best_len, best_score
+
+    def decode(params, audio, audio_len):
+        tokens, lens, scores = device_fn(params, audio, audio_len)
+        tokens = np.asarray(tokens)
+        lens = np.asarray(lens)
+        texts = [
+            tokenizer.decode(tokens[b, : int(lens[b])])
+            for b in range(tokens.shape[0])
+        ]
+        return texts, np.asarray(scores)
+
+    return decode

@@ -1,0 +1,209 @@
+"""LAS-style attention decoder (unidirectional LSTM + attention).
+
+Reference-side realization: Gluon Blocks over MXNet C++ ops with a
+Python per-step loop [SURVEY.md §2.1 #10,#12]. New-repo realization
+[BASELINE.json:L9]: one flax module with two apply paths sharing the
+same parameters —
+
+  * ``__call__``  — the teacher-forced training pass as a single
+    ``lax.scan`` over output steps, with scheduled sampling (per-step
+    Bernoulli mix of gold vs the model's own argmax, PRNG-keyed)
+    [SURVEY.md §2.1 #12];
+  * ``step``      — a single decode step over an explicit state pytree,
+    used by greedy/beam search [SURVEY.md §3.2]. Scan-path vs step-path
+    parity is unit-tested.
+
+Attention variants: "dot" (scaled dot product), "add" (Bahdanau), and
+"loc" (location-aware: additive + a conv feature over the previous
+attention weights) [SURVEY.md §2.1 #10, INFERRED-med on variant].
+The encoder-side key projection is precomputed once per utterance
+(``precompute``) so the per-step work is one cell update + one masked
+softmax — the big matmuls stay outside the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gluon_e2e_asr_tpu.config import ModelConfig
+from gluon_e2e_asr_tpu.models.lstm import lstm_cell_step
+
+
+class AttentionDecoder(nn.Module):
+    cfg: ModelConfig
+    vocab_size: int
+    sos_id: int = 2
+    eos_id: int = 3
+
+    def setup(self):
+        cfg = self.cfg
+        V, E, H, A = self.vocab_size, cfg.dec_embed, cfg.dec_hidden, cfg.att_dim
+        enc_dim = 2 * cfg.enc_hidden
+        self.embed = self.param(
+            "embed", nn.initializers.normal(1.0 / (E ** 0.5)), (V, E)
+        )
+        # Stacked LSTM cells; layer 0 consumes [embedding ; context].
+        in_dims = [E + enc_dim] + [H] * (cfg.dec_layers - 1)
+        self.w_x = [
+            self.param(f"cell{l}_wx", nn.initializers.lecun_normal(),
+                       (in_dims[l], 4 * H))
+            for l in range(cfg.dec_layers)
+        ]
+        self.b_x = [
+            self.param(f"cell{l}_b", nn.initializers.zeros, (4 * H,))
+            for l in range(cfg.dec_layers)
+        ]
+        self.w_h = [
+            self.param(f"cell{l}_wh", nn.initializers.orthogonal(), (H, 4 * H))
+            for l in range(cfg.dec_layers)
+        ]
+        # Attention parameters.
+        self.att_q = self.param("att_q", nn.initializers.lecun_normal(), (H, A))
+        self.att_k = self.param("att_k", nn.initializers.lecun_normal(), (enc_dim, A))
+        if cfg.att_type in ("add", "loc"):
+            self.att_b = self.param("att_b", nn.initializers.zeros, (A,))
+            self.att_v = self.param("att_v", nn.initializers.lecun_normal(), (A, 1))
+        if cfg.att_type == "loc":
+            self.loc_filter = self.param(
+                "loc_filter",
+                nn.initializers.lecun_normal(),
+                (cfg.loc_conv_width, 1, cfg.loc_conv_channels),
+            )
+            self.loc_proj = self.param(
+                "loc_proj", nn.initializers.lecun_normal(),
+                (cfg.loc_conv_channels, A),
+            )
+        self.w_out = self.param(
+            "out_w", nn.initializers.lecun_normal(), (H + enc_dim, V)
+        )
+        self.b_out = self.param("out_b", nn.initializers.zeros, (V,))
+
+    # ------------------------------------------------------------------
+    # Attention
+    # ------------------------------------------------------------------
+    def precompute(self, enc: jnp.ndarray) -> jnp.ndarray:
+        """Encoder key projection, computed once per utterance: [B,T,A]."""
+        cdtype = jnp.dtype(self.cfg.compute_dtype)
+        return jnp.dot(
+            enc.astype(cdtype), self.att_k.astype(cdtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _attend(self, query, enc, enc_proj, enc_mask, att_prev):
+        """query [B,H] -> (context [B,enc_dim], att_w [B,T])."""
+        cfg = self.cfg
+        q = jnp.dot(query, self.att_q, preferred_element_type=jnp.float32)  # [B,A]
+        if cfg.att_type == "dot":
+            scores = jnp.einsum("ba,bta->bt", q, enc_proj) / jnp.sqrt(
+                jnp.asarray(cfg.att_dim, jnp.float32)
+            )
+        else:
+            e = q[:, None, :] + enc_proj + self.att_b  # [B,T,A]
+            if cfg.att_type == "loc":
+                # Conv feature over previous attention weights [B,T] -> [B,T,C].
+                f = jax.lax.conv_general_dilated(
+                    att_prev[:, :, None],
+                    self.loc_filter,
+                    window_strides=(1,),
+                    padding="SAME",
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                )
+                e = e + jnp.dot(f, self.loc_proj,
+                                preferred_element_type=jnp.float32)
+            scores = jnp.tanh(e) @ self.att_v  # [B,T,1]
+            scores = scores[..., 0]
+        scores = jnp.where(enc_mask, scores, -1e30)
+        att_w = jax.nn.softmax(scores, axis=-1)
+        att_w = att_w * enc_mask  # exact zeros on padding
+        context = jnp.einsum("bt,btd->bd", att_w, enc)
+        return context, att_w
+
+    # ------------------------------------------------------------------
+    # Single decode step (shared by training scan, greedy, beam)
+    # ------------------------------------------------------------------
+    def init_state(self, batch: int, enc_frames: int) -> Dict[str, Any]:
+        cfg = self.cfg
+        H, enc_dim = cfg.dec_hidden, 2 * cfg.enc_hidden
+        z = lambda *s: jnp.zeros(s, jnp.float32)
+        # Initial attention: uniform over the (masked) window would need
+        # lens; zeros work because step() recomputes attention before use.
+        return {
+            "h": z(cfg.dec_layers, batch, H),
+            "c": z(cfg.dec_layers, batch, H),
+            "att_w": z(batch, enc_frames),
+            "context": z(batch, enc_dim),
+        }
+
+    def step(self, state, token, enc, enc_proj, enc_mask):
+        """One decode step. token [B] int32 -> (new_state, logits [B,V])."""
+        cfg = self.cfg
+        emb = self.embed[token]  # [B,E]
+        x = jnp.concatenate([emb, state["context"]], axis=-1)
+        hs, cs = [], []
+        for l in range(cfg.dec_layers):
+            xg = jnp.dot(x, self.w_x[l], preferred_element_type=jnp.float32) + self.b_x[l]
+            h_new, c_new = lstm_cell_step(
+                state["h"][l], state["c"][l], xg, self.w_h[l]
+            )
+            hs.append(h_new)
+            cs.append(c_new)
+            x = h_new
+        query = hs[-1]
+        context, att_w = self._attend(query, enc, enc_proj, enc_mask,
+                                      state["att_w"])
+        logits = (
+            jnp.dot(jnp.concatenate([query, context], axis=-1), self.w_out,
+                    preferred_element_type=jnp.float32)
+            + self.b_out
+        )
+        new_state = {
+            "h": jnp.stack(hs),
+            "c": jnp.stack(cs),
+            "att_w": att_w,
+            "context": context,
+        }
+        return new_state, logits
+
+    # ------------------------------------------------------------------
+    # Teacher-forced training pass (lax.scan) with scheduled sampling
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        enc: jnp.ndarray,  # [B,T,enc_dim]
+        enc_len: jnp.ndarray,  # [B]
+        tokens_in: jnp.ndarray,  # [B,L] gold inputs, tokens_in[:,0] == sos
+        ss_prob: float = 0.0,
+        ss_rng=None,
+    ) -> jnp.ndarray:
+        """Returns logits [B, L, V] predicting tokens_in shifted by one."""
+        B, T = enc.shape[0], enc.shape[1]
+        L = tokens_in.shape[1]
+        enc_mask = (jnp.arange(T)[None, :] < enc_len[:, None]).astype(jnp.float32)
+        enc_proj = self.precompute(enc)
+        state0 = self.init_state(B, T)
+
+        use_ss = ss_prob > 0.0 and ss_rng is not None
+        if use_ss:
+            coins = jax.random.bernoulli(ss_rng, ss_prob, (L, B))
+        else:
+            coins = jnp.zeros((L, B), bool)
+
+        def scan_step(carry, inp):
+            state, prev_pred = carry
+            gold_tok, coin = inp
+            tok = jnp.where(coin, prev_pred, gold_tok)
+            state, logits = self.step(state, tok, enc, enc_proj, enc_mask)
+            pred = jnp.argmax(logits, axis=-1).astype(tokens_in.dtype)
+            return (state, pred), logits
+
+        # Step 0 always consumes sos (coins[0] forced False).
+        coins = coins.at[0].set(False)
+        init = (state0, tokens_in[:, 0])
+        _, logits = jax.lax.scan(
+            scan_step, init, (tokens_in.T, coins)
+        )  # [L, B, V]
+        return jnp.swapaxes(logits, 0, 1)

@@ -1,0 +1,76 @@
+"""Pyramidal BiLSTM encoder + CTC projection head.
+
+Reference-side realization: Gluon ``rnn.LSTM`` blocks over MXNet's C++
+fused RNN ops [SURVEY.md §2.1 #8]. New-repo realization: stacked
+bidirectional ``lax.scan`` LSTM layers with optional frame-pair
+time subsampling between layers [BASELINE.json:L5,L7; SURVEY.md §2.1 #8
+"pyramidal/stride subsampling"].
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gluon_e2e_asr_tpu.config import ModelConfig
+from gluon_e2e_asr_tpu.models.lstm import lstm_scan
+
+
+def subsample_concat(x: jnp.ndarray, lens: jnp.ndarray, factor: int):
+    """Pyramidal reduction: concatenate ``factor`` consecutive frames and
+    stride by ``factor``. [B,T,D] -> [B,ceil(T/f),f*D]; len -> ceil(len/f)."""
+    if factor == 1:
+        return x, lens
+    B, T, D = x.shape
+    pad = (-T) % factor
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    x = x.reshape(B, (T + pad) // factor, factor * D)
+    new_lens = (lens + factor - 1) // factor
+    return x, new_lens
+
+
+class BiLSTMEncoder(nn.Module):
+    """Stacked BiLSTM with per-layer subsampling and a CTC head."""
+
+    cfg: ModelConfig
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, feat_len: jnp.ndarray,
+                 train: bool = False, dropout_rng=None):
+        cfg = self.cfg
+        cdtype = jnp.dtype(cfg.compute_dtype)
+        x, lens = feats, feat_len
+        subs = tuple(cfg.enc_subsample) + (1,) * max(
+            0, cfg.enc_layers - len(cfg.enc_subsample)
+        )
+        for layer in range(cfg.enc_layers):
+            x, lens = subsample_concat(x, lens, int(subs[layer]))
+            H = cfg.enc_hidden
+            # One fused input projection for both directions: [B,T,D]@[D,8H].
+            xg = nn.Dense(8 * H, dtype=cdtype, name=f"l{layer}_in")(
+                x.astype(cdtype)
+            ).astype(jnp.float32)
+            xg_f, xg_b = jnp.split(xg, 2, axis=-1)
+            w_hf = self.param(
+                f"l{layer}_rec_f", nn.initializers.orthogonal(), (H, 4 * H)
+            )
+            w_hb = self.param(
+                f"l{layer}_rec_b", nn.initializers.orthogonal(), (H, 4 * H)
+            )
+            fwd = lstm_scan(xg_f, lens, w_hf, reverse=False, compute_dtype=cdtype)
+            bwd = lstm_scan(xg_b, lens, w_hb, reverse=True, compute_dtype=cdtype)
+            x = jnp.concatenate([fwd, bwd], axis=-1)  # [B, T, 2H]
+            if train and cfg.enc_dropout > 0.0:
+                x = nn.Dropout(cfg.enc_dropout, deterministic=False)(
+                    x, rng=dropout_rng
+                )
+        # CTC projection head [SURVEY.md §2.1 #9]; loss applies log_softmax.
+        ctc_logits = nn.Dense(self.vocab_size, dtype=cdtype, name="ctc_head")(
+            x.astype(cdtype)
+        ).astype(jnp.float32)
+        return x, lens.astype(jnp.int32), ctc_logits

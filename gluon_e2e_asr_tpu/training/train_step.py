@@ -1,0 +1,229 @@
+"""The jitted training step: frontend -> encoder -> losses -> update.
+
+One XLA program per bucket shape [SURVEY.md §3.1]: everything from
+feature extraction through the optax update (including the DP gradient
+allreduce over ICI) compiles into a single program
+[BASELINE.json:L5,L10].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from gluon_e2e_asr_tpu.config import Config
+from gluon_e2e_asr_tpu.frontend.features import frontend_apply
+from gluon_e2e_asr_tpu.models.asr import ASRModel
+from gluon_e2e_asr_tpu.ops.ctc import ctc_loss
+from gluon_e2e_asr_tpu.ops.losses import (
+    ce_label_smoothing_loss,
+    hybrid_loss,
+    make_decoder_io,
+)
+from gluon_e2e_asr_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # scalar int32
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+    """optax chain: global-norm clip + Adam/SGD + warmup->inverse-sqrt LR
+    [SURVEY.md §2.1 #14]."""
+    tc = config.train
+    if tc.warmup_steps > 0:
+        sched = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, tc.learning_rate, tc.warmup_steps),
+                lambda s: tc.learning_rate
+                * jnp.sqrt(tc.warmup_steps / jnp.maximum(s + tc.warmup_steps, 1)),
+            ],
+            [tc.warmup_steps],
+        )
+    else:
+        sched = tc.learning_rate
+    if tc.optimizer == "adam":
+        opt = optax.adamw(sched, weight_decay=tc.weight_decay)
+    elif tc.optimizer == "sgd":
+        opt = optax.sgd(sched, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {tc.optimizer}")
+    parts = []
+    if tc.grad_clip_norm > 0:
+        parts.append(optax.clip_by_global_norm(tc.grad_clip_norm))
+    parts.append(opt)
+    return optax.chain(*parts)
+
+
+def create_train_state(
+    config: Config,
+    model: ASRModel,
+    tx: optax.GradientTransformation,
+    sample_batch: Dict[str, Any],
+    cmvn_stats=None,
+) -> TrainState:
+    """Initialize params with a representative (bucket-shaped) batch."""
+    root = jax.random.PRNGKey(config.train.seed)
+    init_rng, state_rng = jax.random.split(root)
+
+    feats, feat_len = frontend_apply(
+        config.frontend,
+        jnp.asarray(sample_batch["audio"]),
+        jnp.asarray(sample_batch["audio_len"]),
+        train=False,
+        cmvn_stats=cmvn_stats,
+    )
+    tokens_in = None
+    if model.use_decoder:
+        tokens_in, _, _ = make_decoder_io(
+            jnp.asarray(sample_batch["labels"]),
+            jnp.asarray(sample_batch["label_len"]),
+            model.sos_id,
+            model.eos_id,
+        )
+    variables = model.init(init_rng, feats, feat_len, tokens_in)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=state_rng,
+    )
+
+
+def compute_loss(
+    params,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    *,
+    model: ASRModel,
+    config: Config,
+    cmvn_stats=None,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Full forward + hybrid loss [SURVEY.md §3.1 inner stack]."""
+    k_spec, k_ss, k_drop = jax.random.split(rng, 3)
+    feats, feat_len = frontend_apply(
+        config.frontend,
+        batch["audio"],
+        batch["audio_len"],
+        train=train,
+        rng=k_spec,
+        cmvn_stats=cmvn_stats,
+    )
+    mtl_alpha = config.loss.mtl_alpha
+    labels = batch["labels"]
+    label_len = batch["label_len"]
+    num_real = (batch["audio_len"] > 0).sum()
+
+    tokens_in = None
+    if model.use_decoder:
+        tokens_in, targets, tgt_mask = make_decoder_io(
+            labels, label_len, model.sos_id, model.eos_id
+        )
+    out = model.apply(
+        {"params": params},
+        feats,
+        feat_len,
+        tokens_in,
+        config.loss.scheduled_sampling if train else 0.0,
+        k_ss,
+        train=train,
+        dropout_rng=k_drop,
+    )
+    if mtl_alpha > 0.0:
+        ctc_nll = ctc_loss(
+            out["ctc_logits"], out["enc_len"], labels, label_len, blank_id=0
+        )
+    else:
+        ctc_nll = jnp.zeros((labels.shape[0],), jnp.float32)
+    att_acc = jnp.zeros(())
+    if model.use_decoder:
+        # Mask pad rows out of the attention CE.
+        row_mask = (batch["audio_len"] > 0).astype(jnp.float32)[:, None]
+        att_ce, acc = ce_label_smoothing_loss(
+            out["att_logits"], targets, tgt_mask * row_mask,
+            config.loss.label_smoothing,
+        )
+        att_acc = (acc * row_mask[:, 0]).sum() / jnp.maximum(
+            row_mask.sum(), 1.0
+        )
+    else:
+        att_ce = jnp.zeros_like(ctc_nll)
+    parts = hybrid_loss(ctc_nll, att_ce, label_len, mtl_alpha, num_real)
+    metrics = dict(parts)
+    metrics["att_acc"] = att_acc
+    metrics["num_real"] = num_real
+    return parts["loss"], metrics
+
+
+def make_train_step(
+    model: ASRModel,
+    config: Config,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    cmvn_stats=None,
+):
+    """Build the jitted train step. With a mesh, the batch arrives sharded
+    over the ``data`` axis and params replicated; XLA inserts the ICI
+    gradient allreduce [BASELINE.json:L10]."""
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        new_rng, step_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
+        (_, metrics), grads = grad_fn(
+            state.params,
+            batch,
+            step_rng,
+            model=model,
+            config=config,
+            cmvn_stats=cmvn_stats,
+            train=True,
+        )
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = grad_norm
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            rng=new_rng,
+        )
+        return new_state, metrics
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        batch_shardings = {
+            "audio": data, "audio_len": data, "labels": data, "label_len": data,
+        }
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, batch_shardings),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_loss_step(model: ASRModel, config: Config, cmvn_stats=None):
+    """Jitted dev-loss pass (no SpecAugment / dropout / scheduled sampling)."""
+
+    def eval_fn(params, batch, rng):
+        _, metrics = compute_loss(
+            params, batch, rng, model=model, config=config,
+            cmvn_stats=cmvn_stats, train=False,
+        )
+        return metrics
+
+    return jax.jit(eval_fn)

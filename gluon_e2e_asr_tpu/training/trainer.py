@@ -1,0 +1,258 @@
+"""Training orchestration: the host epoch loop around the jitted step.
+
+Implements the §3.1 call stack of SURVEY.md: config -> vocab/manifests
+-> bucketed sampler -> init -> per-epoch batch loop (one compiled XLA
+program per bucket shape) -> dev eval (greedy WER) -> checkpoint best
+[BASELINE.json:L5,L7,L10].
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gluon_e2e_asr_tpu.config import Config
+from gluon_e2e_asr_tpu.data.loader import DataLoader
+from gluon_e2e_asr_tpu.data.manifest import (
+    Utterance,
+    build_librispeech_manifest,
+    build_synthetic_manifest,
+    load_manifest,
+)
+from gluon_e2e_asr_tpu.data.sampler import BucketSampler, make_bucket_specs
+from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+from gluon_e2e_asr_tpu.decoding.greedy import ids_to_texts, make_greedy_decoder
+from gluon_e2e_asr_tpu.eval.metrics import cer, wer
+from gluon_e2e_asr_tpu.models.asr import build_model
+from gluon_e2e_asr_tpu.parallel.mesh import make_mesh, shard_batch_arrays
+from gluon_e2e_asr_tpu.training.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from gluon_e2e_asr_tpu.training.train_step import (
+    create_train_state,
+    make_eval_loss_step,
+    make_optimizer,
+    make_train_step,
+)
+from gluon_e2e_asr_tpu.utils.logging import JsonlLogger
+
+
+def build_datasets(config: Config) -> Tuple[List[Utterance], List[Utterance]]:
+    dc = config.data
+    if dc.dataset == "synthetic":
+        train = build_synthetic_manifest(
+            dc.synth_num_train, dc.synth_seed, dc.synth_min_tokens,
+            dc.synth_max_tokens, prefix="train",
+        )
+        dev = build_synthetic_manifest(
+            dc.synth_num_dev, dc.synth_seed + 1, dc.synth_min_tokens,
+            dc.synth_max_tokens, prefix="dev",
+        )
+        return train, dev
+    if dc.dataset == "librispeech":
+        if dc.train_manifest:
+            return load_manifest(dc.train_manifest), load_manifest(dc.dev_manifest)
+        train = build_librispeech_manifest(dc.data_dir, "train-clean-100")
+        dev = build_librispeech_manifest(dc.data_dir, "dev-clean")
+        return train, dev
+    raise ValueError(f"unknown dataset {dc.dataset}")
+
+
+class Trainer:
+    def __init__(self, config: Config, workdir: str = "."):
+        self.config = config
+        self.workdir = workdir
+        self.logger = JsonlLogger(
+            os.path.join(workdir, config.train.metrics_path)
+        )
+
+        self.train_utts, self.dev_utts = build_datasets(config)
+        self.tokenizer = CharTokenizer()
+        specs = make_bucket_specs(
+            config.data.bucket_bounds_sec,
+            config.data.sample_rate,
+            config.data.batch_size,
+            config.data.max_label_len,
+            config.frontend.hop_length,
+            config.data.dynamic_batch,
+        )
+        self.sampler = BucketSampler(
+            self.train_utts, specs, config.data.sample_rate,
+            seed=config.train.seed, shuffle=config.data.shuffle,
+            drop_last=config.data.drop_last,
+        )
+        self.loader = DataLoader(
+            self.train_utts, self.sampler, self.tokenizer,
+            config.data.sample_rate,
+        )
+        self.dev_sampler = BucketSampler(
+            self.dev_utts, specs, config.data.sample_rate,
+            seed=0, shuffle=False,
+        )
+        self.dev_loader = DataLoader(
+            self.dev_utts, self.dev_sampler, self.tokenizer,
+            config.data.sample_rate,
+        )
+
+        self.model = build_model(
+            config, self.tokenizer.vocab_size,
+            self.tokenizer.sos_id, self.tokenizer.eos_id,
+        )
+        self.tx = make_optimizer(config)
+        self.mesh = make_mesh() if config.train.dp else None
+        self.n_chips = len(jax.devices()) if config.train.dp else 1
+        self.cmvn_stats = None  # global CMVN support: computed via tools
+
+        # Init params from the first bucket that has data.
+        sample = self._sample_batch()
+        self.state = create_train_state(
+            config, self.model, self.tx, sample, self.cmvn_stats
+        )
+        self.train_step = make_train_step(
+            self.model, config, self.tx, self.mesh, self.cmvn_stats
+        )
+        self.greedy = make_greedy_decoder(self.model, config, self.cmvn_stats)
+        self.epoch0 = 0
+        self.best_wer = float("inf")
+
+    def _sample_batch(self) -> Dict[str, np.ndarray]:
+        for bucket, idxs in self.sampler.epoch_batches(0):
+            b = self.loader.make_batch(bucket, idxs)
+            return {
+                "audio": b.audio, "audio_len": b.audio_len,
+                "labels": b.labels, "label_len": b.label_len,
+            }
+        raise RuntimeError("no training batches — check bucket bounds")
+
+    # ------------------------------------------------------------------
+    def maybe_resume(self) -> None:
+        path = latest_checkpoint(os.path.join(self.workdir,
+                                              self.config.train.ckpt_dir))
+        if path is None:
+            return
+        self.state, cmvn, meta = restore_checkpoint(path, self.state)
+        if cmvn is not None:
+            self.cmvn_stats = cmvn
+        self.epoch0 = int(meta.get("epoch", -1)) + 1
+        self.best_wer = float(meta.get("best_wer", float("inf")))
+        self.logger.log({"event": "resume", "ckpt": path, "epoch": self.epoch0})
+
+    def _device_batch(self, b) -> Dict[str, jnp.ndarray]:
+        arrays = {
+            "audio": b.audio, "audio_len": b.audio_len,
+            "labels": b.labels, "label_len": b.label_len,
+        }
+        if self.mesh is not None:
+            return shard_batch_arrays(self.mesh, arrays)
+        return arrays
+
+    def train(self) -> Dict[str, float]:
+        cfg = self.config
+        tc = cfg.train
+        step = int(self.state.step)
+        profiling = False
+        final = {}
+        for epoch in range(self.epoch0, tc.num_epochs):
+            t_epoch = time.perf_counter()
+            utts_done, tokens_done = 0, 0
+            window_t0, window_utts = time.perf_counter(), 0
+            for b in self.loader.epoch(epoch):
+                if 0 < tc.max_steps <= step:
+                    break
+                if tc.profile_dir and step == tc.profile_start_step:
+                    jax.profiler.start_trace(tc.profile_dir)
+                    profiling = True
+                batch = self._device_batch(b)
+                self.state, metrics = self.train_step(self.state, batch)
+                step += 1
+                if profiling and step >= tc.profile_start_step + tc.profile_num_steps:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                utts_done += b.num_real
+                window_utts += b.num_real
+                tokens_done += int(b.label_len.sum())
+                if step % tc.log_every_steps == 0:
+                    metrics = jax.device_get(metrics)
+                    dt = time.perf_counter() - window_t0
+                    rec = {
+                        "event": "train",
+                        "step": step,
+                        "epoch": epoch,
+                        "bucket": b.bucket,
+                        "loss": round(float(metrics["loss"]), 5),
+                        "loss_ctc": round(float(metrics["loss_ctc"]), 5),
+                        "loss_att": round(float(metrics["loss_att"]), 5),
+                        "att_acc": round(float(metrics["att_acc"]), 4),
+                        "grad_norm": round(float(metrics["grad_norm"]), 4),
+                        "utt_per_sec_per_chip": round(
+                            window_utts / max(dt, 1e-9) / self.n_chips, 2
+                        ),
+                    }
+                    self.logger.log(rec)
+                    window_t0, window_utts = time.perf_counter(), 0
+                if tc.ckpt_every_steps and step % tc.ckpt_every_steps == 0:
+                    self._checkpoint(epoch, None)
+            # --- end of epoch: dev eval + checkpoint [SURVEY.md §3.1] ---
+            dev = self.evaluate()
+            epoch_time = time.perf_counter() - t_epoch
+            rec = {
+                "event": "epoch",
+                "epoch": epoch,
+                "step": step,
+                "epoch_time_s": round(epoch_time, 2),
+                "utt_per_sec_per_chip": round(
+                    utts_done / max(epoch_time, 1e-9) / self.n_chips, 2
+                ),
+                **{k: round(v, 4) for k, v in dev.items()},
+            }
+            self.logger.log(rec)
+            is_best = dev["dev_wer"] < self.best_wer
+            if is_best:
+                self.best_wer = dev["dev_wer"]
+            self._checkpoint(epoch, is_best)
+            final = rec
+            if 0 < tc.max_steps <= step:
+                break
+        return final
+
+    def _checkpoint(self, epoch: int, is_best: Optional[bool]) -> None:
+        meta = {
+            "epoch": epoch,
+            "config_hash": self.config.fingerprint(),
+            "vocab": self.tokenizer.to_json(),
+            "vocab_hash": self.tokenizer.fingerprint(),
+            "best_wer": self.best_wer,
+        }
+        save_checkpoint(
+            os.path.join(self.workdir, self.config.train.ckpt_dir),
+            self.state,
+            meta,
+            self.cmvn_stats,
+            keep=self.config.train.keep_ckpts,
+            is_best=bool(is_best),
+        )
+
+    def evaluate(self) -> Dict[str, float]:
+        """Greedy-decode the dev set and score WER/CER [BASELINE.json:L2]."""
+        refs, hyps = [], []
+        by_id = {u.utt_id: u for u in self.dev_utts}
+        for b in self.dev_loader.epoch(0):
+            ids, lens = self.greedy(
+                self.state.params, jnp.asarray(b.audio), jnp.asarray(b.audio_len)
+            )
+            texts = ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)
+            for row, utt_id in enumerate(b.utt_ids):
+                refs.append(by_id[utt_id].text)
+                hyps.append(texts[row])
+        return {
+            "dev_wer": wer(refs, hyps),
+            "dev_cer": cer(refs, hyps),
+        }

@@ -1,0 +1,128 @@
+"""ctypes bindings for the native host-path library (lazy g++ build).
+
+The shared library is built on first use from ``native/asr_native.cpp``
+(g++ is in the image; pybind11/Rust are not — SURVEY.md environment
+notes). Every entry point has a pure-Python fallback in its caller, so
+an unavailable toolchain degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libasr_native.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "asr_native.cpp")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+             "-o", _LIB_PATH, _SRC_PATH],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.exists(_SRC_PATH)
+            and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)
+        ):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.pack_waves.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.edit_distance_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.edit_distance_i32.restype = ctypes.c_int32
+        lib.edit_distance_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32)
+        ] * 4 + [ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+        return _lib
+
+
+def pack_waves(
+    waves: Sequence[np.ndarray], max_samples: int, batch_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Native padded packing of float32 waveforms into [batch, max_samples]."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = len(waves)
+    waves32 = [np.ascontiguousarray(w, dtype=np.float32) for w in waves]
+    ptrs = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for w in waves32]
+    )
+    lens = np.array([len(w) for w in waves32], dtype=np.int32)
+    out_audio = np.empty((batch_size, max_samples), np.float32)
+    out_lens = np.empty((batch_size,), np.int32)
+    lib.pack_waves(
+        ptrs,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        max_samples,
+        batch_size,
+        out_audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out_audio, out_lens
+
+
+def edit_distance_native(ref: List[str], hyp: List[str]) -> int:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    table: dict = {}
+    def ids(seq):
+        arr = np.empty(len(seq), np.int32)
+        for i, t in enumerate(seq):
+            arr[i] = table.setdefault(t, len(table))
+        return arr
+    r, h = ids(ref), ids(hyp)
+    return int(
+        lib.edit_distance_i32(
+            r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(r),
+            h.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(h),
+        )
+    )

@@ -1,0 +1,201 @@
+"""Beam search unit tests [SURVEY.md §4 'Unit: beam search'].
+
+The CTC prefix recursion is validated against the (already
+brute-force-validated) CTC forward algorithm through the identity
+  logaddexp(r_n(h)[T-1], r_b(h)[T-1]) == log P_ctc(h)  == -ctc_loss(h),
+checked after every extension step; plus degenerate-case equivalences.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gluon_e2e_asr_tpu.config import Config, DataConfig, DecodeConfig, LossConfig, ModelConfig, TrainConfig
+from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+from gluon_e2e_asr_tpu.decoding.beam import (
+    NEG_INF,
+    _ctc_extension_scores,
+    _logaddexp,
+    make_beam_decoder,
+)
+from gluon_e2e_asr_tpu.ops.ctc import ctc_forward_alpha
+
+
+def _rand_logp(B, T, V, seed=0):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(B, T, V).astype(np.float32)
+    return np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+
+
+def _full_prob_reference(logp, T_len, seq):
+    """log P_ctc(seq) via the validated forward algorithm."""
+    L = max(len(seq), 1)
+    labels = np.zeros((1, L), np.int32)
+    labels[0, : len(seq)] = seq
+    nll = ctc_forward_alpha(
+        jnp.asarray(logp[None]),
+        jnp.array([T_len], jnp.int32),
+        jnp.asarray(labels),
+        jnp.array([len(seq)], jnp.int32),
+    )
+    return -float(nll[0])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("T_len", [6, 4])
+def test_prefix_recursion_matches_forward_algorithm(seed, T_len):
+    """Extend prefixes token by token; after each extension the full-prob
+    derived from the r pair must equal the CTC forward likelihood."""
+    T, V, K = 6, 5, 1
+    logp = _rand_logp(1, T, V, seed)[0]
+    enc_len = jnp.array([T_len], jnp.int32)
+    ctc_logp = jnp.asarray(logp[None])
+
+    # start: empty prefix
+    xb_cum = np.cumsum(logp[:, 0])
+    r = np.stack([np.full(T, NEG_INF, np.float32), xb_cum], axis=-1)
+    r = jnp.asarray(r[None, None])  # [1,1,T,2]
+    last = jnp.array([[-1]], jnp.int32)
+
+    seq = []
+    for tok in [1, 2, 2, 3]:
+        psi, r_new, full_prob = _ctc_extension_scores(
+            ctc_logp, enc_len, r, last, last < 0, blank_id=0
+        )
+        # full prob of the *current* prefix (before extension)
+        want_cur = _full_prob_reference(logp, T_len, seq)
+        np.testing.assert_allclose(float(full_prob[0, 0]), want_cur,
+                                   rtol=1e-4, atol=1e-4)
+        # extend by tok: r_new[:, b, k, v, :] at v=tok becomes r of h
+        r = jnp.moveaxis(r_new, 0, 2)[:, :, :, tok, :]  # [1,1,T,2]
+        seq.append(tok)
+        last = jnp.array([[tok]], jnp.int32)
+        # full prob of h from the freshly gathered r at the last valid frame
+        r_end = np.asarray(r[0, 0, T_len - 1])
+        got_h = float(_logaddexp(jnp.asarray(r_end[0]), jnp.asarray(r_end[1])))
+        want_h = _full_prob_reference(logp, T_len, seq)
+        np.testing.assert_allclose(got_h, want_h, rtol=1e-4, atol=1e-4)
+        # psi (prefix score) upper-bounds the exact sequence probability
+        assert float(psi[0, 0, tok]) >= want_h - 1e-4
+
+
+def test_prefix_scores_sane_distribution():
+    """psi over single-token extensions of the empty prefix equals the
+    CTC prefix probability: P(output starts with c). Sum over c of
+    exp(psi) + P(empty) must be ~1 when T covers everything."""
+    T, V = 5, 4
+    logp = _rand_logp(1, T, V, seed=3)[0]
+    ctc_logp = jnp.asarray(logp[None])
+    enc_len = jnp.array([T], jnp.int32)
+    xb_cum = np.cumsum(logp[:, 0])
+    r = jnp.asarray(
+        np.stack([np.full(T, NEG_INF, np.float32), xb_cum], -1)[None, None]
+    )
+    last = jnp.array([[-1]], jnp.int32)
+    psi, _, full_prob = _ctc_extension_scores(
+        ctc_logp, enc_len, r, last, last < 0, blank_id=0
+    )
+    p_starts = np.exp(np.asarray(psi[0, 0, 1:]))  # skip blank column
+    p_empty = np.exp(_full_prob_reference(logp, T, []))
+    np.testing.assert_allclose(p_starts.sum() + p_empty, 1.0, rtol=1e-4)
+
+
+def _tiny_model_setup(seed=0):
+    from gluon_e2e_asr_tpu.models.asr import build_model
+
+    cfg = Config(
+        model=ModelConfig(enc_hidden=24, enc_layers=1, enc_subsample=(2,),
+                          dec_hidden=24, dec_embed=12, att_dim=12,
+                          att_type="add"),
+        loss=LossConfig(mtl_alpha=0.3),
+        decode=DecodeConfig(method="beam", beam_size=4, ctc_weight=0.3,
+                            maxlen_ratio=0.6, length_norm=True),
+    )
+    tok = CharTokenizer()
+    model = build_model(cfg, tok.vocab_size, tok.sos_id, tok.eos_id)
+    rng = np.random.RandomState(seed)
+    audio = rng.randn(2, 8000).astype(np.float32) * 0.1
+    audio_len = np.array([8000, 6000], np.int32)
+    # init params
+    from gluon_e2e_asr_tpu.training.train_step import (
+        create_train_state, make_optimizer,
+    )
+
+    batch = {
+        "audio": audio, "audio_len": audio_len,
+        "labels": rng.randint(4, 10, (2, 6)).astype(np.int32),
+        "label_len": np.array([6, 4], np.int32),
+    }
+    state = create_train_state(cfg, model, make_optimizer(cfg), batch)
+    return cfg, tok, model, state, audio, audio_len
+
+
+def test_beam_decoder_runs_and_is_valid():
+    cfg, tok, model, state, audio, audio_len = _tiny_model_setup()
+    decode = make_beam_decoder(model, cfg, tok)
+    texts, scores = decode(state.params, jnp.asarray(audio),
+                           jnp.asarray(audio_len))
+    assert len(texts) == 2
+    assert np.isfinite(scores).all()
+    for t in texts:
+        assert all(ch in tok.alphabet for ch in t), t
+
+
+def test_beam_k1_att_only_matches_greedy_att():
+    """beam(K=1, ctc_weight=0, no length norm) == stepwise argmax attention
+    decoding [SURVEY.md §4 degenerate check]."""
+    cfg, tok, model, state, audio, audio_len = _tiny_model_setup(seed=4)
+    cfg.decode.beam_size = 1
+    cfg.decode.ctc_weight = 0.0
+    cfg.decode.length_norm = False
+    decode = make_beam_decoder(model, cfg, tok)
+    texts, _ = decode(state.params, jnp.asarray(audio), jnp.asarray(audio_len))
+
+    # reference: greedy attention decode via decoder_step
+    from gluon_e2e_asr_tpu.frontend.features import frontend_apply
+
+    feats, feat_len = frontend_apply(cfg.frontend, jnp.asarray(audio),
+                                     jnp.asarray(audio_len), train=False)
+    enc, enc_len, _ = model.apply({"params": state.params}, feats, feat_len,
+                                  method=model.encode)
+    B, T = enc.shape[0], enc.shape[1]
+    enc_mask = (jnp.arange(T)[None] < enc_len[:, None]).astype(jnp.float32)
+    enc_proj = model.apply({"params": state.params}, enc,
+                           method=model.decoder_precompute)
+    dstate = model.apply({"params": state.params}, B, T,
+                         method=model.decoder_init_state)
+    maxlen = np.maximum(
+        (cfg.decode.maxlen_ratio * np.asarray(enc_len)).astype(int), 1
+    )
+    # Follow the argmax continuation path (what beam K=1 explores) and, at
+    # every step, record the finalized candidate prefix+eos with its total
+    # att logp — beam K=1 returns the best finalized candidate.
+    tokens = np.full((B,), tok.sos_id, np.int64)
+    att_sum = np.zeros(B)
+    prefix = [[] for _ in range(B)]
+    best_score = np.full(B, -np.inf)
+    best_hyp = [[] for _ in range(B)]
+    for i in range(int(maxlen.max())):
+        dstate, logits = model.apply(
+            {"params": state.params}, dstate, jnp.asarray(tokens, jnp.int32),
+            enc, enc_proj, enc_mask, method=model.decoder_step,
+        )
+        lp = np.array(jax.nn.log_softmax(logits, -1))
+        for b in range(B):
+            if i >= maxlen[b]:
+                continue
+            fin = att_sum[b] + lp[b, tok.eos_id]
+            if fin > best_score[b]:
+                best_score[b] = fin
+                best_hyp[b] = list(prefix[b])
+        # disallow blank/sos/eos/unk for continuation, like the beam
+        lp[:, [tok.blank_id, tok.sos_id, tok.eos_id, tok.unk_id]] = -1e30
+        nxt = lp.argmax(-1)
+        for b in range(B):
+            if i < maxlen[b]:
+                prefix[b].append(int(nxt[b]))
+                att_sum[b] += lp[b, nxt[b]]
+        tokens = nxt
+    greedy_texts = [tok.decode(h) for h in best_hyp]
+    assert texts == greedy_texts, (texts, greedy_texts)

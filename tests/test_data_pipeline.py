@@ -1,0 +1,101 @@
+"""L0 data pipeline tests: synthetic manifests, bucketing, loader shapes,
+native packer parity [SURVEY.md §4]."""
+
+import numpy as np
+import pytest
+
+from gluon_e2e_asr_tpu.data.loader import Batch, DataLoader, _pack_python
+from gluon_e2e_asr_tpu.data.manifest import (
+    build_synthetic_manifest,
+    load_manifest,
+    save_manifest,
+    synth_waveform,
+)
+from gluon_e2e_asr_tpu.data.sampler import BucketSampler, make_bucket_specs
+from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+
+
+def test_synth_waveform_deterministic():
+    w1 = synth_waveform("hello", seed=7)
+    w2 = synth_waveform("hello", seed=7)
+    np.testing.assert_array_equal(w1, w2)
+    assert w1.dtype == np.float32
+    assert np.abs(w1).max() <= 1.0
+    # different text -> different audio
+    w3 = synth_waveform("world", seed=7)
+    assert w3.shape != w1.shape or not np.array_equal(w1, w3)
+
+
+def test_manifest_roundtrip(tmp_path):
+    utts = build_synthetic_manifest(10, seed=3)
+    p = str(tmp_path / "m.jsonl")
+    save_manifest(utts, p)
+    back = load_manifest(p)
+    assert back == utts
+
+
+def test_bucket_sampler_static_shapes():
+    utts = build_synthetic_manifest(50, seed=0)
+    specs = make_bucket_specs([2.0, 4.0], 16000, batch_size=8,
+                              max_label_len=32)
+    sampler = BucketSampler(utts, specs, 16000, seed=1)
+    assert not sampler.skipped  # all synthetic utts fit
+    seen = set()
+    count = 0
+    for bucket, idxs in sampler.epoch_batches(0):
+        assert len(idxs) <= specs[bucket].batch_size
+        seen.update(idxs)
+        count += 1
+    assert len(seen) == 50  # full coverage, no duplicates
+    assert count == sampler.num_batches()
+
+
+def test_bucket_sampler_epoch_determinism():
+    utts = build_synthetic_manifest(30, seed=0)
+    specs = make_bucket_specs([2.0, 4.0], 16000, 8, 32)
+    s1 = BucketSampler(utts, specs, 16000, seed=5)
+    s2 = BucketSampler(utts, specs, 16000, seed=5)
+    assert list(s1.epoch_batches(3)) == list(s2.epoch_batches(3))
+    assert list(s1.epoch_batches(3)) != list(s1.epoch_batches(4))
+
+
+def test_loader_batch_shapes():
+    utts = build_synthetic_manifest(20, seed=2)
+    specs = make_bucket_specs([2.0, 4.0], 16000, 8, 32)
+    sampler = BucketSampler(utts, specs, 16000, seed=0)
+    loader = DataLoader(utts, sampler, CharTokenizer())
+    tok = CharTokenizer()
+    for b in loader.epoch(0):
+        spec = specs[b.bucket]
+        assert b.audio.shape == (spec.batch_size, spec.max_samples)
+        assert b.labels.shape == (spec.batch_size, spec.max_labels)
+        assert (b.audio_len <= spec.max_samples).all()
+        # real rows have matching transcripts
+        for row, utt_id in enumerate(b.utt_ids):
+            utt = next(u for u in utts if u.utt_id == utt_id)
+            n = int(b.label_len[row])
+            assert tok.decode(b.labels[row, :n]) == utt.text
+        # pad rows zeroed
+        for row in range(len(b.utt_ids), spec.batch_size):
+            assert b.audio_len[row] == 0
+            assert b.label_len[row] == 0
+
+
+def test_native_packer_matches_python():
+    try:
+        from gluon_e2e_asr_tpu.utils.native import get_lib, pack_waves
+    except Exception:
+        pytest.skip("native module unavailable")
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.RandomState(0)
+    waves = [rng.randn(n).astype(np.float32) for n in (100, 250, 37)]
+    a1, l1 = pack_waves(waves, 300, 5)
+    a2, l2 = _pack_python(waves, 300, 5)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(l1, l2)
+    # truncation path
+    a1, l1 = pack_waves(waves, 120, 4)
+    a2, l2 = _pack_python(waves, 120, 4)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(l1, l2)

@@ -1,0 +1,114 @@
+"""Data-parallel correctness on a fake 8-device CPU mesh
+[SURVEY.md §4 'Distributed: DP'; BASELINE.json:L10].
+
+psum-equivalence: gradients computed with the batch sharded over the
+``data`` mesh axis must equal single-device gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gluon_e2e_asr_tpu.config import Config, DataConfig, LossConfig, ModelConfig, TrainConfig
+from gluon_e2e_asr_tpu.data.loader import DataLoader
+from gluon_e2e_asr_tpu.data.manifest import build_synthetic_manifest
+from gluon_e2e_asr_tpu.data.sampler import BucketSampler, make_bucket_specs
+from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+from gluon_e2e_asr_tpu.models.asr import build_model
+from gluon_e2e_asr_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch_arrays,
+)
+from gluon_e2e_asr_tpu.training.train_step import (
+    compute_loss,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _setup(dp_batch=8):
+    cfg = Config(
+        data=DataConfig(dataset="synthetic", synth_num_train=dp_batch,
+                        synth_max_tokens=5, batch_size=dp_batch,
+                        bucket_bounds_sec=(1.5,)),
+        model=ModelConfig(enc_hidden=32, enc_layers=2, enc_subsample=(1, 2),
+                          dec_hidden=32, dec_embed=16, att_dim=16,
+                          att_type="add"),
+        loss=LossConfig(mtl_alpha=0.3),
+        train=TrainConfig(seed=0, dp=True),
+    )
+    tok = CharTokenizer()
+    utts = build_synthetic_manifest(dp_batch, seed=0, max_tokens=5)
+    specs = make_bucket_specs(cfg.data.bucket_bounds_sec, 16000, dp_batch, 16)
+    sampler = BucketSampler(utts, specs, 16000, seed=0, shuffle=False)
+    loader = DataLoader(utts, sampler, tok)
+    b = next(iter(loader.epoch(0)))
+    batch = {
+        "audio": b.audio, "audio_len": b.audio_len,
+        "labels": b.labels, "label_len": b.label_len,
+    }
+    model = build_model(cfg, tok.vocab_size, tok.sos_id, tok.eos_id)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, model, tx, batch)
+    return cfg, model, tx, state, batch
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_grads_match_single_device():
+    cfg, model, tx, state, batch = _setup()
+    rng = jax.random.PRNGKey(42)
+    # SpecAugment draws per-utterance masks from the same key either way,
+    # so the loss is identical; disable nothing.
+    grad_fn = jax.grad(
+        lambda p, b: compute_loss(p, b, rng, model=model, config=cfg,
+                                  train=True)[0]
+    )
+    g_single = jax.device_get(
+        grad_fn(state.params, {k: jnp.asarray(v) for k, v in batch.items()})
+    )
+
+    mesh = make_mesh()
+    sharded = shard_batch_arrays(mesh, batch)
+    repl = replicated_sharding(mesh)
+    g_dp = jax.device_get(
+        jax.jit(grad_fn, out_shardings=repl)(state.params, sharded)
+    )
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_single),
+                     jax.tree_util.tree_leaves(g_dp)):
+        np.testing.assert_allclose(a, b_, rtol=2e-4, atol=2e-5)
+
+
+def test_dp_train_step_runs_and_matches():
+    cfg, model, tx, state, batch = _setup()
+    mesh = make_mesh()
+    step_dp = make_train_step(model, cfg, tx, mesh=mesh)
+    step_1d = make_train_step(model, cfg, tx, mesh=None)
+
+    sharded = shard_batch_arrays(mesh, batch)
+    s_dp, m_dp = step_dp(state, sharded)
+    # fresh state for the single-device run (donated buffers)
+    cfg2, model2, tx2, state2, batch2 = _setup()
+    s_1d, m_1d = step_1d(state2, {k: jnp.asarray(v) for k, v in batch2.items()})
+
+    np.testing.assert_allclose(
+        float(m_dp["loss"]), float(m_1d["loss"]), rtol=2e-4
+    )
+    for a, b_ in zip(jax.tree_util.tree_leaves(jax.device_get(s_dp.params)),
+                     jax.tree_util.tree_leaves(jax.device_get(s_1d.params))):
+        np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-4)
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh()
+    x = np.zeros((8, 16), np.float32)
+    sh = batch_sharding(mesh)
+    arr = jax.device_put(x, sh)
+    # each device holds 1/8 of the batch
+    assert arr.addressable_shards[0].data.shape == (1, 16)
