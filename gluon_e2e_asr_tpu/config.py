@@ -54,6 +54,9 @@ class FrontendConfig:
     log_floor: float = 1e-10
     # CMVN [BASELINE.json:L5]: "global" stats file or "utterance" level.
     cmvn: str = "utterance"  # "global" | "utterance" | "none"
+    # npz with arrays {mean, std}, produced by tools/compute_cmvn.py;
+    # required when cmvn == "global".
+    cmvn_stats_path: str = ""
     # SpecAugment (train only) [BASELINE.json:L5,L8].
     specaug_freq_masks: int = 2
     specaug_freq_width: int = 27
@@ -84,6 +87,9 @@ class ModelConfig:
     loc_conv_width: int = 100
     # Compute dtype for matmuls ("bfloat16" rides the MXU; params stay fp32).
     compute_dtype: str = "float32"
+    # Rematerialize encoder LSTM scans in the backward pass: trades FLOPs
+    # for activation memory on long buckets [SURVEY.md §5 long-context].
+    remat: bool = False
 
 
 @dataclass
@@ -124,6 +130,9 @@ class TrainConfig:
     profile_start_step: int = 10
     profile_num_steps: int = 5
     remat_encoder: bool = False
+    # CI/test mode: fail fast on NaNs anywhere in the jitted step
+    # [SURVEY.md §5 race-detection analogue].
+    debug_nans: bool = False
 
 
 @dataclass

@@ -89,7 +89,18 @@ def main(argv=None):
     logger = JsonlLogger(out_path, also_stdout=False)
     refs, hyps, latencies = [], [], []
     by_id = {u.utt_id: u for u in dev_utts}
+    warmed = set()
     for b in loader.epoch(0):
+        if b.bucket not in warmed:
+            # One untimed pass per bucket shape so p50 latency measures
+            # device time, not XLA compilation [BASELINE.json:L2;
+            # SURVEY.md §7 hard part 6 "honest benchmarking"].
+            out = decoder(state.params, jnp.asarray(b.audio),
+                          jnp.asarray(b.audio_len))
+            for leaf in jax.tree_util.tree_leaves(out):
+                if hasattr(leaf, "block_until_ready"):
+                    leaf.block_until_ready()
+            warmed.add(b.bucket)
         t0 = time.perf_counter()
         if config.decode.method == "beam":
             texts, scores = decoder(state.params, jnp.asarray(b.audio),

@@ -112,10 +112,13 @@ def log_mel_spectrogram(audio: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     frames = frame_signal(audio, cfg.win_length, cfg.hop_length)  # [B,F,W]
     frames = frames * jnp.asarray(win)
     # STFT as two MXU matmuls; power spectrum; mel projection; log.
-    re = jnp.einsum("bfw,wk->bfk", frames, jnp.asarray(cos_b))
-    im = jnp.einsum("bfw,wk->bfk", frames, jnp.asarray(sin_b))
+    # HIGHEST precision: log-domain features amplify bf16 cancellation
+    # noise near the power floor (TPU default matmul precision is bf16).
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("bfw,wk->bfk", frames, jnp.asarray(cos_b), precision=hp)
+    im = jnp.einsum("bfw,wk->bfk", frames, jnp.asarray(sin_b), precision=hp)
     power = re * re + im * im  # [B, F, n_freq]
-    melspec = jnp.einsum("bfk,km->bfm", power, jnp.asarray(mel))
+    melspec = jnp.einsum("bfk,km->bfm", power, jnp.asarray(mel), precision=hp)
     return jnp.log(jnp.maximum(melspec, cfg.log_floor))
 
 

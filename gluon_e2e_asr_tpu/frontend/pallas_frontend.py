@@ -1,0 +1,259 @@
+"""Milestone 2: the fused Pallas frontend kernel [BASELINE.json:L8].
+
+One ``pallas_call`` fuses the acoustic frontend — framing, STFT, log-Mel
+filterbank, CMVN, SpecAugment — per utterance [BASELINE.json:L5 "fuses
+into a single Pallas kernel feeding HBM-resident feature batches";
+SURVEY.md §3.3].
+
+TPU mapping decisions:
+  * grid = (batch,): one program per utterance; frames are processed in
+    fixed-size chunks inside the kernel so VMEM stays bounded for long
+    buckets;
+  * overlapping frames are assembled in-kernel by concatenating three
+    hop-strided views of the audio (win=400 = 2*hop + 80 at hop=160).
+    The views are contiguous reshapes built outside (Mosaic does not
+    lower value-level dynamic_slice or ref reshapes, so a flat in-kernel
+    gather is not expressible); the kernel does the actual window
+    assembly, so each audio sample still crosses HBM exactly once per
+    stride;
+  * the STFT is a framed matmul against DFT cosine/sine bases restricted
+    to the window length (zero-padding rows contribute nothing), running
+    on the MXU [SURVEY.md §7 hard part 3];
+  * CMVN (utterance mode) is a masked two-moment reduction over the
+    on-chip feature buffer;
+  * SpecAugment draws mask geometry from the in-kernel TPU PRNG
+    (pltpu.prng_seed / prng_random_bits), seeded per (step, utterance).
+
+Parity with the composed-jnp path (``features.compute_features``) is
+unit-tested with SpecAugment off; SpecAugment statistics are tested
+separately (the two paths use different PRNG streams by design).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gluon_e2e_asr_tpu.config import FrontendConfig
+from gluon_e2e_asr_tpu.frontend.features import (
+    dft_basis,
+    hann_window,
+    mel_filterbank,
+    num_frames,
+    spec_augment,
+)
+
+FRAME_CHUNK = 256  # frames per inner iteration (multiple of 8)
+
+
+def _kernel(
+    # scalar prefetch
+    feat_len_ref,  # [B] int32
+    seed_ref,  # [B] int32
+    # inputs (hop-strided views of the padded audio)
+    a1_ref,  # [1, FP, hop]
+    a2_ref,  # [1, FP, hop]
+    a3_ref,  # [1, FP, hop]
+    win_cos_ref,  # [win, n_freq] (window pre-multiplied)
+    win_sin_ref,  # [win, n_freq]
+    mel_ref,  # [n_freq, M]
+    # output
+    out_ref,  # [1, FP, M]
+    *,
+    hop: int,
+    win: int,
+    n_mels: int,
+    log_floor: float,
+    cmvn_mode: str,
+    train_specaug: bool,
+    sa_freq_masks: int,
+    sa_freq_width: int,
+    sa_time_masks: int,
+    sa_time_width: int,
+):
+    b = pl.program_id(0)
+    FP = out_ref.shape[1]
+    n_chunks = FP // FRAME_CHUNK
+    rem = win - 2 * hop
+    feat_len = feat_len_ref[b]
+
+    def chunk_body(c, _):
+        sl = pl.ds(c * FRAME_CHUNK, FRAME_CHUNK)
+        frames = jnp.concatenate(
+            [a1_ref[0, sl, :], a2_ref[0, sl, :], a3_ref[0, sl, :rem]], axis=1
+        )  # [FC, win]
+        # HIGHEST precision: matches the jnp path; bf16 default would put
+        # O(1) noise into the log features near the power floor.
+        hp = jax.lax.Precision.HIGHEST
+        re = jnp.dot(frames, win_cos_ref[:], precision=hp,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, win_sin_ref[:], precision=hp,
+                     preferred_element_type=jnp.float32)
+        power = re * re + im * im
+        mel = jnp.dot(power, mel_ref[:], precision=hp,
+                      preferred_element_type=jnp.float32)
+        out_ref[0, sl, :] = jnp.log(jnp.maximum(mel, log_floor))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    # ---- CMVN over valid frames (utterance mode) ----
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (FP, n_mels), 0)
+    valid = (row_ids < feat_len).astype(jnp.float32)
+    if cmvn_mode == "utterance":
+        feats = out_ref[0]
+        denom = jnp.maximum(feat_len.astype(jnp.float32), 1.0)
+        mean = jnp.sum(feats * valid, axis=0, keepdims=True) / denom
+        var = jnp.sum((feats - mean) ** 2 * valid, axis=0, keepdims=True) / denom
+        out_ref[0] = (feats - mean) * jax.lax.rsqrt(var + 1e-10)
+
+    # ---- SpecAugment (train only; TPU PRNG) ----
+    if train_specaug:
+        pltpu.prng_seed(seed_ref[b])
+        nm = sa_freq_masks + sa_time_masks
+        rnd = pltpu.bitcast(
+            pltpu.prng_random_bits((2 * nm, 128)), jnp.uint32
+        )[:, 0]
+        feats = out_ref[0]
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (FP, n_mels), 1)
+        keep = jnp.ones((FP, n_mels), jnp.float32)
+        for i in range(sa_freq_masks):
+            w = (rnd[2 * i] % jnp.uint32(sa_freq_width + 1)).astype(jnp.int32)
+            s = (rnd[2 * i + 1] % jnp.uint32(max(n_mels, 1))).astype(jnp.int32)
+            s = jnp.minimum(s, n_mels - w)
+            hit = (col_ids >= s) & (col_ids < s + w)
+            keep = jnp.where(hit, 0.0, keep)
+        for i in range(sa_time_masks):
+            j = sa_freq_masks + i
+            w = (rnd[2 * j] % jnp.uint32(sa_time_width + 1)).astype(jnp.int32)
+            w = jnp.minimum(w, jnp.maximum(feat_len // 5, 1))
+            span = jnp.maximum(feat_len - w + 1, 1)
+            s = (rnd[2 * j + 1] % jnp.uint32(FP)).astype(jnp.int32) % span
+            hit = (row_ids >= s) & (row_ids < s + w)
+            keep = jnp.where(hit, 0.0, keep)
+        out_ref[0] = feats * keep
+
+    # ---- zero padding rows ----
+    out_ref[0] = out_ref[0] * valid
+
+
+@functools.lru_cache(maxsize=None)
+def _constants(cfg_key) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    (win, n_fft, n_mels, sr, fmin, fmax) = cfg_key
+    cos_b, sin_b = dft_basis(win, n_fft)
+    w = hann_window(win)[:, None]
+    mel = mel_filterbank(n_mels, n_fft, sr, fmin, fmax)
+    return (w * cos_b).astype(np.float32), (w * sin_b).astype(np.float32), mel
+
+
+def compute_features_pallas(
+    cfg: FrontendConfig,
+    audio: jnp.ndarray,
+    audio_len: jnp.ndarray,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    cmvn_stats=None,
+    interpret: Optional[bool] = None,
+):
+    """Fused-kernel frontend with the same signature/semantics as
+    ``features.compute_features`` (modulo the SpecAugment PRNG stream)."""
+    B, S = audio.shape
+    win, hop, M = cfg.win_length, cfg.hop_length, cfg.n_mels
+    assert win <= 3 * hop, "kernel framing assumes win <= 3*hop"
+    F = num_frames(S, win, hop)
+    assert F > 0, "bucket shorter than one window"
+    FP = ((F + FRAME_CHUNK - 1) // FRAME_CHUNK) * FRAME_CHUNK
+    # Hop-strided views cover up to FP*hop + 2*hop samples.
+    S_need = (FP + 2) * hop
+    if S_need > S:
+        audio = jnp.pad(audio, ((0, 0), (0, S_need - S)))
+    a1 = audio[:, : FP * hop].reshape(B, FP, hop)
+    a2 = audio[:, hop : (FP + 1) * hop].reshape(B, FP, hop)
+    a3 = audio[:, 2 * hop : (FP + 2) * hop].reshape(B, FP, hop)
+
+    fmax = cfg.fmax if cfg.fmax is not None else cfg.sample_rate / 2.0
+    wc, ws, mel = _constants(
+        (win, cfg.n_fft, M, cfg.sample_rate, cfg.fmin, float(fmax))
+    )
+
+    feat_len = num_frames(audio_len, win, hop).astype(jnp.int32)
+    do_specaug = train and (
+        cfg.specaug_freq_masks > 0 or cfg.specaug_time_masks > 0
+    )
+    if do_specaug:
+        assert rng is not None
+        seeds = jax.random.randint(
+            rng, (B,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
+        )
+    else:
+        seeds = jnp.zeros((B,), jnp.int32)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kernel = functools.partial(
+        _kernel,
+        hop=hop,
+        win=win,
+        n_mels=M,
+        log_floor=cfg.log_floor,
+        cmvn_mode=cfg.cmvn,
+        # In-kernel PRNG is TPU-only; under interpret (CPU) SpecAugment is
+        # applied outside the kernel below.
+        train_specaug=do_specaug and not interpret,
+        sa_freq_masks=cfg.specaug_freq_masks,
+        sa_freq_width=cfg.specaug_freq_width,
+        sa_time_masks=cfg.specaug_time_masks,
+        sa_time_width=cfg.specaug_time_width,
+    )
+
+    view_spec = pl.BlockSpec(
+        (1, FP, hop), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            view_spec,
+            view_spec,
+            view_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, FP, M), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    feats_padded = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, FP, M), jnp.float32),
+        interpret=interpret,
+    )(feat_len, seeds, a1, a2, a3, jnp.asarray(wc), jnp.asarray(ws),
+      jnp.asarray(mel))
+    feats = feats_padded[:, :F, :]
+
+    if cfg.cmvn == "global":
+        assert cmvn_stats is not None
+        mean, std = cmvn_stats
+        valid = (jnp.arange(F)[None, :] < feat_len[:, None])[..., None]
+        feats = jnp.where(valid, (feats - mean) / jnp.maximum(std, 1e-5), 0.0)
+
+    if do_specaug and interpret:
+        feats = spec_augment(
+            feats, feat_len, rng, cfg.specaug_freq_masks,
+            cfg.specaug_freq_width, cfg.specaug_time_masks,
+            cfg.specaug_time_width,
+        )
+        valid = (jnp.arange(F)[None, :] < feat_len[:, None])[..., None]
+        feats = jnp.where(valid, feats, 0.0)
+    return feats, feat_len

@@ -69,6 +69,8 @@ def build_model(config: Config, vocab_size: int, sos_id: int = 2,
         # Milestone 1 is encoder+CTC only [BASELINE.json:L7]; the hybrid
         # configs add the attention decoder [BASELINE.json:L9,L10].
         use_decoder = config.loss.mtl_alpha < 1.0
+    if config.train.remat_encoder:
+        config.model.remat = True
     return ASRModel(
         cfg=config.model,
         vocab_size=vocab_size,

@@ -9,6 +9,7 @@ time subsampling between layers [BASELINE.json:L5,L7; SURVEY.md §2.1 #8
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import flax.linen as nn
@@ -16,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from gluon_e2e_asr_tpu.config import ModelConfig
-from gluon_e2e_asr_tpu.models.lstm import lstm_scan
+from gluon_e2e_asr_tpu.models.lstm import bilstm_scan, lstm_scan
 
 
 def subsample_concat(x: jnp.ndarray, lens: jnp.ndarray, factor: int):
@@ -62,9 +63,13 @@ class BiLSTMEncoder(nn.Module):
             w_hb = self.param(
                 f"l{layer}_rec_b", nn.initializers.orthogonal(), (H, 4 * H)
             )
-            fwd = lstm_scan(xg_f, lens, w_hf, reverse=False, compute_dtype=cdtype)
-            bwd = lstm_scan(xg_b, lens, w_hb, reverse=True, compute_dtype=cdtype)
-            x = jnp.concatenate([fwd, bwd], axis=-1)  # [B, T, 2H]
+            # Both directions share one lax.scan (see bilstm_scan).
+            scan_fn = functools.partial(bilstm_scan, compute_dtype=cdtype)
+            if cfg.remat:
+                # Recompute the scan in the backward pass instead of storing
+                # per-step activations (O(1) residency for long buckets).
+                scan_fn = jax.checkpoint(scan_fn)
+            x = scan_fn(xg_f, xg_b, lens, w_hf, w_hb)  # [B, T, 2H]
             if train and cfg.enc_dropout > 0.0:
                 x = nn.Dropout(cfg.enc_dropout, deterministic=False)(
                     x, rng=dropout_rng

@@ -72,3 +72,57 @@ def lstm_scan(
     if reverse:
         ys = jnp.flip(ys, axis=0)
     return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+
+
+def bilstm_scan(
+    x_gates_f: jnp.ndarray,  # [B, T, 4H] forward-direction input projections
+    x_gates_b: jnp.ndarray,  # [B, T, 4H] backward-direction input projections
+    lens: jnp.ndarray,  # [B]
+    w_hf: jnp.ndarray,  # [H, 4H]
+    w_hb: jnp.ndarray,  # [H, 4H]
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Both LSTM directions in ONE ``lax.scan``: the backward direction
+    consumes time-flipped inputs, so each scan step updates a stacked
+    [2, B, H] state with a single batched [2,B,H]x[2,H,4H] matmul. Halves
+    the sequential loop count vs two separate scans (the per-iteration
+    loop overhead, not the matmul FLOPs, bounds small-batch LSTMs on TPU).
+
+    Returns concat(fwd, bwd) outputs [B, T, 2H].
+    """
+    B, T, H4 = x_gates_f.shape
+    H = H4 // 4
+    valid = jnp.arange(T)[None, :] < lens[:, None]  # [B, T]
+    xs_f = jnp.swapaxes(x_gates_f, 0, 1)  # [T, B, 4H]
+    xs_b = jnp.flip(jnp.swapaxes(x_gates_b, 0, 1), axis=0)
+    vs_f = valid.T  # [T, B]
+    vs_b = jnp.flip(vs_f, axis=0)
+    xs = jnp.stack([xs_f, xs_b], axis=1)  # [T, 2, B, 4H]
+    vs = jnp.stack([vs_f, vs_b], axis=1)  # [T, 2, B]
+    w = jnp.stack([w_hf, w_hb]).astype(compute_dtype)  # [2, H, 4H]
+
+    def step(carry, inp):
+        h, c = carry  # [2, B, H] each
+        xg, v = inp  # [2, B, 4H], [2, B]
+        gates = xg + jax.lax.dot_general(
+            h.astype(compute_dtype), w,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        vm = v[..., None]
+        h = jnp.where(vm, h_new, h)
+        c = jnp.where(vm, c_new, c)
+        out = jnp.where(vm, h_new, jnp.zeros_like(h_new))
+        return (h, c), out
+
+    init = (
+        jnp.zeros((2, B, H), x_gates_f.dtype),
+        jnp.zeros((2, B, H), x_gates_f.dtype),
+    )
+    _, ys = jax.lax.scan(step, init, (xs, vs))  # ys [T, 2, B, H]
+    fwd = jnp.swapaxes(ys[:, 0], 0, 1)  # [B, T, H]
+    bwd = jnp.swapaxes(jnp.flip(ys[:, 1], axis=0), 0, 1)
+    return jnp.concatenate([fwd, bwd], axis=-1)  # [B, T, 2H]

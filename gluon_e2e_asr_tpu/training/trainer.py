@@ -108,7 +108,19 @@ class Trainer:
         self.tx = make_optimizer(config)
         self.mesh = make_mesh() if config.train.dp else None
         self.n_chips = len(jax.devices()) if config.train.dp else 1
-        self.cmvn_stats = None  # global CMVN support: computed via tools
+        self.cmvn_stats = None
+        if config.frontend.cmvn == "global":
+            path = config.frontend.cmvn_stats_path
+            if not path or not os.path.exists(path):
+                raise FileNotFoundError(
+                    "frontend.cmvn == 'global' requires cmvn_stats_path "
+                    "(generate with tools/compute_cmvn.py), got: "
+                    f"{path!r}"
+                )
+            blob = np.load(path)
+            self.cmvn_stats = (
+                jnp.asarray(blob["mean"]), jnp.asarray(blob["std"])
+            )
 
         # Init params from the first bucket that has data.
         sample = self._sample_batch()
@@ -118,9 +130,25 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, config, self.tx, self.mesh, self.cmvn_stats
         )
-        self.greedy = make_greedy_decoder(self.model, config, self.cmvn_stats)
+        # Dev eval decoder follows decode.method: greedy CTC needs a trained
+        # CTC head (mtl_alpha > 0); pure-attention configs (milestone 3)
+        # evaluate with the att-only beam.
+        if config.decode.method == "beam":
+            from gluon_e2e_asr_tpu.decoding.beam import make_beam_decoder
+
+            self._beam = make_beam_decoder(
+                self.model, config, self.tokenizer, self.cmvn_stats
+            )
+            self.greedy = None
+        else:
+            self.greedy = make_greedy_decoder(self.model, config,
+                                              self.cmvn_stats)
+            self._beam = None
         self.epoch0 = 0
+        self.skip_batches = 0  # mid-epoch resume position
         self.best_wer = float("inf")
+        if config.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
 
     def _sample_batch(self) -> Dict[str, np.ndarray]:
         for bucket, idxs in self.sampler.epoch_batches(0):
@@ -140,9 +168,23 @@ class Trainer:
         self.state, cmvn, meta = restore_checkpoint(path, self.state)
         if cmvn is not None:
             self.cmvn_stats = cmvn
-        self.epoch0 = int(meta.get("epoch", -1)) + 1
+        # Exact resume [SURVEY.md §5 failure detection]: a mid-epoch
+        # checkpoint records how many batches of its epoch were consumed;
+        # the deterministic (seed, epoch)-keyed sampler then replays the
+        # remainder, reproducing the uninterrupted run bit-for-bit.
+        batches_done = int(meta.get("batches_done", -1))
+        epoch = int(meta.get("epoch", -1))
+        if batches_done >= 0:
+            self.epoch0 = epoch
+            self.skip_batches = batches_done
+        else:
+            self.epoch0 = epoch + 1
+            self.skip_batches = 0
         self.best_wer = float(meta.get("best_wer", float("inf")))
-        self.logger.log({"event": "resume", "ckpt": path, "epoch": self.epoch0})
+        self.logger.log({
+            "event": "resume", "ckpt": path, "epoch": self.epoch0,
+            "skip_batches": self.skip_batches,
+        })
 
     def _device_batch(self, b) -> Dict[str, jnp.ndarray]:
         arrays = {
@@ -163,8 +205,13 @@ class Trainer:
             t_epoch = time.perf_counter()
             utts_done, tokens_done = 0, 0
             window_t0, window_utts = time.perf_counter(), 0
-            for b in self.loader.epoch(epoch):
+            skip = self.skip_batches if epoch == self.epoch0 else 0
+            stopped_at = -1
+            for batch_idx, b in enumerate(self.loader.epoch(epoch)):
+                if batch_idx < skip:
+                    continue
                 if 0 < tc.max_steps <= step:
+                    stopped_at = batch_idx
                     break
                 if tc.profile_dir and step == tc.profile_start_step:
                     jax.profiler.start_trace(tc.profile_dir)
@@ -199,7 +246,12 @@ class Trainer:
                     self.logger.log(rec)
                     window_t0, window_utts = time.perf_counter(), 0
                 if tc.ckpt_every_steps and step % tc.ckpt_every_steps == 0:
-                    self._checkpoint(epoch, None)
+                    self._checkpoint(epoch, None, batches_done=batch_idx + 1)
+            if stopped_at >= 0:
+                # max_steps hit mid-epoch: checkpoint with the resume
+                # position instead of marking the epoch complete.
+                self._checkpoint(epoch, None, batches_done=stopped_at)
+                break
             # --- end of epoch: dev eval + checkpoint [SURVEY.md §3.1] ---
             dev = self.evaluate()
             epoch_time = time.perf_counter() - t_epoch
@@ -223,9 +275,11 @@ class Trainer:
                 break
         return final
 
-    def _checkpoint(self, epoch: int, is_best: Optional[bool]) -> None:
+    def _checkpoint(self, epoch: int, is_best: Optional[bool],
+                    batches_done: int = -1) -> None:
         meta = {
             "epoch": epoch,
+            "batches_done": batches_done,
             "config_hash": self.config.fingerprint(),
             "vocab": self.tokenizer.to_json(),
             "vocab_hash": self.tokenizer.fingerprint(),
@@ -245,10 +299,18 @@ class Trainer:
         refs, hyps = [], []
         by_id = {u.utt_id: u for u in self.dev_utts}
         for b in self.dev_loader.epoch(0):
-            ids, lens = self.greedy(
-                self.state.params, jnp.asarray(b.audio), jnp.asarray(b.audio_len)
-            )
-            texts = ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)
+            if self.greedy is not None:
+                ids, lens = self.greedy(
+                    self.state.params, jnp.asarray(b.audio),
+                    jnp.asarray(b.audio_len)
+                )
+                texts = ids_to_texts(np.asarray(ids), np.asarray(lens),
+                                     self.tokenizer)
+            else:
+                texts, _ = self._beam(
+                    self.state.params, jnp.asarray(b.audio),
+                    jnp.asarray(b.audio_len)
+                )
             for row, utt_id in enumerate(b.utt_ids):
                 refs.append(by_id[utt_id].text)
                 hyps.append(texts[row])

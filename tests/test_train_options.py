@@ -1,0 +1,115 @@
+"""Training-engine option coverage: remat, bf16 compute, profiling trace,
+optimizer variants [SURVEY.md §5]."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gluon_e2e_asr_tpu.config import Config, DataConfig, LossConfig, ModelConfig, TrainConfig
+from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+from gluon_e2e_asr_tpu.models.asr import build_model
+from gluon_e2e_asr_tpu.training.train_step import (
+    compute_loss,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _batch(B=2, S=8000, L=6, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "audio": rng.randn(B, S).astype(np.float32) * 0.1,
+        "audio_len": np.array([S] * B, np.int32),
+        "labels": rng.randint(4, 10, (B, L)).astype(np.int32),
+        "label_len": np.array([L] * B, np.int32),
+    }
+
+
+def _cfg(**model_kw):
+    return Config(
+        model=ModelConfig(enc_hidden=24, enc_layers=2, enc_subsample=(1, 2),
+                          dec_hidden=24, dec_embed=12, att_dim=12,
+                          att_type="add", **model_kw),
+        loss=LossConfig(mtl_alpha=0.5),
+        train=TrainConfig(seed=0),
+    )
+
+
+def test_remat_matches_no_remat():
+    """Rematerialized encoder produces identical loss and gradients."""
+    batch = _batch()
+    tok = CharTokenizer()
+    rng = jax.random.PRNGKey(1)
+    grads = {}
+    for remat in (False, True):
+        cfg = _cfg(remat=remat)
+        model = build_model(cfg, tok.vocab_size)
+        state = create_train_state(cfg, model, make_optimizer(cfg), batch)
+        g = jax.grad(
+            lambda p: compute_loss(
+                p, {k: jnp.asarray(v) for k, v in batch.items()}, rng,
+                model=model, config=cfg, train=True,
+            )[0]
+        )(state.params)
+        grads[remat] = jax.tree_util.tree_leaves(jax.device_get(g))
+    for a, b in zip(grads[False], grads[True]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_bfloat16_compute_dtype_trains():
+    """compute_dtype=bfloat16 (MXU path) runs and yields finite loss close
+    to the fp32 loss."""
+    batch = _batch()
+    tok = CharTokenizer()
+    losses = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = _cfg(compute_dtype=dt)
+        model = build_model(cfg, tok.vocab_size)
+        tx = make_optimizer(cfg)
+        state = create_train_state(cfg, model, tx, batch)
+        step = make_train_step(model, cfg, tx)
+        state, metrics = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+        losses[dt] = float(metrics["loss"])
+        assert np.isfinite(losses[dt])
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.2, losses
+
+
+def test_profiler_trace_writes_files(tmp_path):
+    """jax.profiler trace gating [SURVEY.md §5 tracing]."""
+    from gluon_e2e_asr_tpu.training.trainer import Trainer
+
+    cfg = Config(
+        data=DataConfig(dataset="synthetic", synth_num_train=8,
+                        synth_num_dev=4, synth_max_tokens=4, batch_size=8,
+                        bucket_bounds_sec=(1.5,)),
+        model=ModelConfig(enc_hidden=16, enc_layers=1, enc_subsample=(2,)),
+        loss=LossConfig(mtl_alpha=1.0),
+        train=TrainConfig(
+            num_epochs=4, ckpt_dir=str(tmp_path / "ck"),
+            metrics_path=str(tmp_path / "m.jsonl"),
+            profile_dir=str(tmp_path / "prof"),
+            profile_start_step=1, profile_num_steps=2,
+        ),
+    )
+    t = Trainer(cfg, workdir=str(tmp_path))
+    t.train()
+    traces = glob.glob(str(tmp_path / "prof" / "**" / "*"), recursive=True)
+    assert traces, "no trace files written"
+
+
+def test_sgd_optimizer():
+    batch = _batch()
+    tok = CharTokenizer()
+    cfg = _cfg()
+    cfg.train.optimizer = "sgd"
+    model = build_model(cfg, tok.vocab_size)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, model, tx, batch)
+    step = make_train_step(model, cfg, tx)
+    state, metrics = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+    assert np.isfinite(float(metrics["loss"]))
