@@ -36,7 +36,7 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
 
-def build(dp: bool):
+def build(dp: bool, lstm_impl: str = "scan", batch_size: int = BATCH):
     import jax
 
     from __graft_entry__ import _flagship_config, _synth_batch
@@ -47,10 +47,11 @@ def build(dp: bool):
     )
 
     config = _flagship_config(tiny=False)
+    config.model.lstm_impl = lstm_impl
     tok = CharTokenizer()
     model = build_model(config, tok.vocab_size, tok.sos_id, tok.eos_id)
     tx = make_optimizer(config)
-    batch = _synth_batch(BATCH, SECONDS, MAX_LABELS)
+    batch = _synth_batch(batch_size, SECONDS, MAX_LABELS)
     state = create_train_state(config, model, tx, batch)
     step = make_train_step(model, config, tx, mesh=None)
     return state, step, batch
@@ -60,6 +61,7 @@ def measure(state, step, batch) -> float:
     import jax
     import jax.numpy as jnp
 
+    bsz = batch["audio"].shape[0]
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, dev_batch)
@@ -70,13 +72,15 @@ def measure(state, step, batch) -> float:
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
     assert np.isfinite(float(metrics["loss"]))
-    return BATCH * MEASURE_STEPS / dt
+    return bsz * MEASURE_STEPS / dt
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cpu-baseline", action="store_true",
                    help="measure the CPU-JAX stand-in baseline instead")
+    p.add_argument("--lstm-impl", default="scan", choices=["scan", "pallas"])
+    p.add_argument("--batch", type=int, default=BATCH)
     args = p.parse_args()
 
     if args.cpu_baseline:
@@ -96,8 +100,12 @@ def main():
 
     import jax
 
+    from gluon_e2e_asr_tpu.utils.platform import warm_device_transfer
+
+    warm_device_transfer()
     n_chips = max(len(jax.devices()), 1)
-    state, step, batch = build(dp=False)
+    state, step, batch = build(dp=False, lstm_impl=args.lstm_impl,
+                               batch_size=args.batch)
     ups = measure(state, step, batch)
     per_chip = ups  # single-chip benchmark (one real chip on this host)
     print(

@@ -90,6 +90,10 @@ class ModelConfig:
     # Rematerialize encoder LSTM scans in the backward pass: trades FLOPs
     # for activation memory on long buckets [SURVEY.md §5 long-context].
     remat: bool = False
+    # Recurrent loop implementation: "scan" (lax.scan baseline) or
+    # "pallas" (VMEM-resident-weight kernel, ops/pallas_lstm.py).
+    lstm_impl: str = "scan"
+    lstm_time_chunk: int = 16
 
 
 @dataclass

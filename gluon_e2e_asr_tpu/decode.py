@@ -32,7 +32,7 @@ from gluon_e2e_asr_tpu.eval.metrics import cer, wer
 from gluon_e2e_asr_tpu.models.asr import build_model
 from gluon_e2e_asr_tpu.training.checkpoint import restore_checkpoint
 from gluon_e2e_asr_tpu.training.train_step import (
-    create_train_state,
+    create_template_state,
     make_optimizer,
 )
 from gluon_e2e_asr_tpu.training.trainer import build_datasets
@@ -53,6 +53,10 @@ def main(argv=None):
         config.decode.method = args.method
     out_path = args.output or config.decode.output_path
 
+    from gluon_e2e_asr_tpu.utils.platform import warm_device_transfer
+
+    warm_device_transfer()
+
     tokenizer = CharTokenizer()
     _, dev_utts = build_datasets(config)
     specs = make_bucket_specs(
@@ -67,9 +71,9 @@ def main(argv=None):
     model = build_model(config, tokenizer.vocab_size, tokenizer.sos_id,
                         tokenizer.eos_id)
     tx = make_optimizer(config)
-    # Template state for restore (shapes from the first dev batch).
+    # Restore template: abstract shapes only — no init compile.
     first = next(iter(loader.epoch(0)))
-    template = create_train_state(
+    template = create_template_state(
         config, model,
         tx,
         {"audio": first.audio, "audio_len": first.audio_len,
@@ -99,7 +103,7 @@ def main(argv=None):
                           jnp.asarray(b.audio_len))
             for leaf in jax.tree_util.tree_leaves(out):
                 if hasattr(leaf, "block_until_ready"):
-                    leaf.block_until_ready()
+                    np.asarray(leaf)  # full path incl. device->host fetch
             warmed.add(b.bucket)
         t0 = time.perf_counter()
         if config.decode.method == "beam":

@@ -63,12 +63,24 @@ class BiLSTMEncoder(nn.Module):
             w_hb = self.param(
                 f"l{layer}_rec_b", nn.initializers.orthogonal(), (H, 4 * H)
             )
-            # Both directions share one lax.scan (see bilstm_scan).
-            scan_fn = functools.partial(bilstm_scan, compute_dtype=cdtype)
-            if cfg.remat:
-                # Recompute the scan in the backward pass instead of storing
-                # per-step activations (O(1) residency for long buckets).
-                scan_fn = jax.checkpoint(scan_fn)
+            # Both directions share one sequential loop (see bilstm_scan /
+            # bilstm_pallas — identical numerics, parity-tested).
+            if cfg.lstm_impl == "pallas":
+                from gluon_e2e_asr_tpu.ops.pallas_lstm import bilstm_pallas
+
+                # custom_vjp functions take positional args only.
+                tc_ = int(cfg.lstm_time_chunk)
+                scan_fn = lambda xf, xb, l, wf, wb: bilstm_pallas(
+                    xf, xb, l, wf, wb, cdtype, tc_
+                )
+            else:
+                scan_fn = functools.partial(bilstm_scan, compute_dtype=cdtype)
+                if cfg.remat:
+                    # Recompute the scan in the backward pass instead of
+                    # storing per-step activations (O(1) residency for
+                    # long buckets). The pallas kernel recomputes gates in
+                    # its backward by construction.
+                    scan_fn = jax.checkpoint(scan_fn)
             x = scan_fn(xg_f, xg_b, lens, w_hf, w_hb)  # [B, T, 2H]
             if train and cfg.enc_dropout > 0.0:
                 x = nn.Dropout(cfg.enc_dropout, deterministic=False)(

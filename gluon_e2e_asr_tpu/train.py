@@ -33,6 +33,9 @@ def main(argv=None):
     if args.max_steps:
         config.train.max_steps = args.max_steps
 
+    from gluon_e2e_asr_tpu.utils.platform import warm_device_transfer
+
+    warm_device_transfer()
     trainer = Trainer(config, workdir=args.workdir)
     if args.resume:
         trainer.maybe_resume()

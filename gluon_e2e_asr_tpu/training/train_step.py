@@ -100,6 +100,48 @@ def create_train_state(
     )
 
 
+def create_template_state(
+    config: Config,
+    model: ASRModel,
+    tx: optax.GradientTransformation,
+    sample_batch: Dict[str, Any],
+) -> TrainState:
+    """Abstract-eval twin of ``create_train_state``: the same pytree
+    structure with ShapeDtypeStruct leaves, built WITHOUT compiling or
+    touching the device. Used as the restore template for checkpoints
+    (flax.serialization only needs structure), so the decode CLI skips
+    the ~90 s init compile."""
+    root = jax.random.PRNGKey(config.train.seed)
+    init_rng, state_rng = jax.random.split(root)
+
+    def init_fn():
+        feats, feat_len = frontend_apply(
+            config.frontend,
+            jnp.zeros_like(jnp.asarray(sample_batch["audio"])),
+            jnp.asarray(sample_batch["audio_len"]),
+            train=False,
+        )
+        tokens_in = None
+        if model.use_decoder:
+            tokens_in, _, _ = make_decoder_io(
+                jnp.asarray(sample_batch["labels"]),
+                jnp.asarray(sample_batch["label_len"]),
+                model.sos_id,
+                model.eos_id,
+            )
+        return model.init(init_rng, feats, feat_len, tokens_in)
+
+    variables = jax.eval_shape(init_fn)
+    params = variables["params"]
+    opt_state = jax.eval_shape(tx.init, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        rng=state_rng,
+    )
+
+
 def compute_loss(
     params,
     batch: Dict[str, jnp.ndarray],

@@ -16,3 +16,23 @@ def configure_from_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+
+
+def warm_device_transfer() -> None:
+    """Initialize the device->host transfer path early.
+
+    Measured on this image's axon TPU tunnel: the FIRST host fetch of a
+    process is slow to initialize, and if it is deferred until after
+    large XLA compilations it can take minutes (156 s observed) instead
+    of ~20 s at startup; every later fetch is then ~30 ms. CLI entry
+    points call this once right after device discovery so decode
+    latency / metrics fetches measure steady-state transfer time.
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        np.asarray(jnp.zeros((8, 128)))
+    except Exception:
+        pass

@@ -1,0 +1,117 @@
+"""Robustness edge cases: infeasible CTC labels, zero-length rows in
+decode, yaml fallback parser, percentile helper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gluon_e2e_asr_tpu.config import _parse_yaml, config_from_dict
+from gluon_e2e_asr_tpu.ops.ctc import ctc_loss
+from gluon_e2e_asr_tpu.utils.logging import percentile
+
+
+def test_ctc_infeasible_label_no_nan():
+    """Label needs more frames than available (2L+1 > T with repeats):
+    loss is huge but finite-ish and grads contain no NaN."""
+    B, T, V, L = 1, 3, 5, 3
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(B, T, V).astype(np.float32))
+    labels = jnp.array([[2, 2, 2]], jnp.int32)  # needs >= 2*3-1+... > 3 frames
+    loss = ctc_loss(logits, jnp.array([T], jnp.int32), labels,
+                    jnp.array([L], jnp.int32))
+    assert not np.isnan(float(loss[0]))
+    g = jax.grad(
+        lambda x: ctc_loss(x, jnp.array([T], jnp.int32), labels,
+                           jnp.array([L], jnp.int32)).sum()
+    )(logits)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_beam_zero_length_row():
+    from gluon_e2e_asr_tpu.config import Config, DecodeConfig, LossConfig, ModelConfig
+    from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+    from gluon_e2e_asr_tpu.decoding.beam import make_beam_decoder
+    from gluon_e2e_asr_tpu.models.asr import build_model
+    from gluon_e2e_asr_tpu.training.train_step import (
+        create_train_state, make_optimizer,
+    )
+
+    cfg = Config(
+        model=ModelConfig(enc_hidden=16, enc_layers=1, enc_subsample=(2,),
+                          dec_hidden=16, dec_embed=8, att_dim=8,
+                          att_type="add"),
+        loss=LossConfig(mtl_alpha=0.3),
+        decode=DecodeConfig(method="beam", beam_size=3, ctc_weight=0.3),
+    )
+    tok = CharTokenizer()
+    model = build_model(cfg, tok.vocab_size)
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio": rng.randn(2, 8000).astype(np.float32) * 0.1,
+        "audio_len": np.array([8000, 0], np.int32),  # second row is pad
+        "labels": rng.randint(4, 10, (2, 4)).astype(np.int32),
+        "label_len": np.array([4, 0], np.int32),
+    }
+    state = create_train_state(cfg, model, make_optimizer(cfg), batch)
+    decode = make_beam_decoder(model, cfg, tok)
+    texts, scores = decode(state.params, jnp.asarray(batch["audio"]),
+                           jnp.asarray(batch["audio_len"]))
+    assert len(texts) == 2  # no crash; pad row yields some (ignorable) hyp
+
+
+def test_greedy_zero_length_row():
+    from gluon_e2e_asr_tpu.ops.ctc import ctc_greedy_decode
+
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 5, 4).astype(np.float32))
+    ids, lens = ctc_greedy_decode(logits, jnp.array([5, 0], jnp.int32))
+    assert int(lens[1]) == 0
+
+
+def test_yaml_fallback_parser():
+    text = """
+# comment
+name: test
+data:
+  dataset: synthetic
+  batch_size: 8
+  bucket_bounds_sec: [1.5, 3.0]
+  shuffle: true
+train:
+  learning_rate: 0.001
+  ckpt_dir: 'ckpts'
+"""
+    parsed = _parse_yaml(text)
+    c = config_from_dict(parsed)
+    assert c.name == "test"
+    assert c.data.batch_size == 8
+    assert c.data.bucket_bounds_sec == (1.5, 3.0)
+    assert c.data.shuffle is True
+    assert c.train.learning_rate == 0.001
+    assert c.train.ckpt_dir == "ckpts"
+
+
+def test_minimal_parser_without_pyyaml(monkeypatch):
+    """Force the no-pyyaml fallback branch."""
+    import builtins
+
+    from gluon_e2e_asr_tpu import config as cfg_mod
+
+    real_import = builtins.__import__
+
+    def fake_import(name, *a, **k):
+        if name == "yaml":
+            raise ImportError("no yaml")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", fake_import)
+    parsed = cfg_mod._parse_yaml("data:\n  batch_size: 4\n")
+    assert parsed == {"data": {"batch_size": 4}}
+
+
+def test_percentile():
+    assert percentile([], 50) == 0.0
+    assert percentile([1.0], 50) == 1.0
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert percentile(vals, 50) == 3.0
+    assert percentile(vals, 0) == 1.0
+    assert percentile(vals, 100) == 5.0

@@ -15,6 +15,11 @@ from gluon_e2e_asr_tpu.frontend.pallas_frontend import compute_features_pallas
 
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
+    from gluon_e2e_asr_tpu.utils.platform import warm_device_transfer
+    import time as _t
+    t0 = _t.perf_counter()
+    warm_device_transfer()
+    print(f"transfer warmup: {_t.perf_counter()-t0:.1f}s")
     rng = np.random.RandomState(0)
     B, S = 4, 32000
     t = np.arange(S) / 16000.0
@@ -30,10 +35,10 @@ def main():
     got, gl = jax.jit(
         lambda a, l: compute_features_pallas(cfg, a, l, interpret=False)
     )(jnp.asarray(audio), jnp.asarray(lens))
-    np.testing.assert_array_equal(np.asarray(rl), np.asarray(gl))
-    d = np.abs(np.asarray(got) - np.asarray(ref))
-    print("pallas-vs-jnp compiled max abs diff:", float(d.max()))
-    assert d.max() < 5e-2, d.max()
+    assert bool(jnp.all(rl == gl))
+    d = float(jnp.max(jnp.abs(got - ref)))
+    print("pallas-vs-jnp compiled max abs diff:", d)
+    assert d < 5e-2, d
 
     # SpecAugment in-kernel PRNG: masks something, deterministic per seed
     k = jax.random.PRNGKey(7)
@@ -45,8 +50,9 @@ def main():
         lambda a, l: compute_features_pallas(cfg, a, l, train=True, rng=k,
                                              interpret=False)
     )(jnp.asarray(audio), jnp.asarray(lens))
-    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
-    zero_frac = (np.asarray(f1) == 0).mean() - (np.asarray(got) == 0).mean()
+    assert bool(jnp.all(f1 == f2))
+    zero_frac = float(jnp.mean((f1 == 0).astype(jnp.float32)) -
+                      jnp.mean((got == 0).astype(jnp.float32)))
     print("specaug extra zero fraction:", float(zero_frac))
     assert zero_frac > 0.005, zero_frac
 
@@ -65,7 +71,61 @@ def main():
         jax.block_until_ready(out[0])
         dt = (time.perf_counter() - t0) / 50
         print(f"frontend[{name}]: {dt*1e6:.1f} us/batch (B={B}, {S/16000}s)")
+    bilstm_section()
     print("TPU SMOKE OK")
+
+
+def bilstm_section():
+    """Compiled parity + timing: pallas BiLSTM kernel vs lax.scan."""
+    import time
+
+    from gluon_e2e_asr_tpu.models.lstm import bilstm_scan
+    from gluon_e2e_asr_tpu.ops.pallas_lstm import bilstm_pallas
+
+    rng = np.random.RandomState(0)
+    B, T, H = 16, 1278, 320
+    xg_f = jnp.asarray(rng.randn(B, T, 4 * H).astype(np.float32) * 0.1)
+    xg_b = jnp.asarray(rng.randn(B, T, 4 * H).astype(np.float32) * 0.1)
+    w_hf = jnp.asarray(rng.randn(H, 4 * H).astype(np.float32) * 0.05)
+    w_hb = jnp.asarray(rng.randn(H, 4 * H).astype(np.float32) * 0.05)
+    lens = jnp.asarray(
+        np.r_[T, rng.randint(T // 2, T, size=B - 1)].astype(np.int32)
+    )
+
+    f_scan = jax.jit(lambda a, b: bilstm_scan(a, b, lens, w_hf, w_hb))
+    f_pl = jax.jit(
+        lambda a, b: bilstm_pallas(a, b, lens, w_hf, w_hb, jnp.float32, 16)
+    )
+    ref = f_scan(xg_f, xg_b)
+    got = f_pl(xg_f, xg_b)
+    d = float(jnp.max(jnp.abs(ref - got)))
+    print("bilstm pallas-vs-scan fwd max diff:", d)
+    assert d < 1e-3, d
+
+    # grads
+    g_scan = jax.jit(jax.grad(lambda a: jnp.sum(
+        bilstm_scan(a, xg_b, lens, w_hf, w_hb) ** 2)))
+    g_pl = jax.jit(jax.grad(lambda a: jnp.sum(
+        bilstm_pallas(a, xg_b, lens, w_hf, w_hb, jnp.float32, 16) ** 2)))
+    dg = float(jnp.max(jnp.abs(g_scan(xg_f) - g_pl(xg_f))))
+    print("bilstm pallas-vs-scan grad max diff:", dg)
+    assert dg < 1e-2, dg
+
+    for name, fn in [("scan", f_scan), ("pallas", f_pl)]:
+        jax.block_until_ready(fn(xg_f, xg_b))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = fn(xg_f, xg_b)
+        jax.block_until_ready(out)
+        print(f"bilstm fwd[{name}]: {(time.perf_counter()-t0)/10*1e3:.2f} ms"
+              f" (B={B}, T={T}, H={H})")
+    for name, fn in [("scan", g_scan), ("pallas", g_pl)]:
+        jax.block_until_ready(fn(xg_f))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = fn(xg_f)
+        jax.block_until_ready(out)
+        print(f"bilstm fwd+bwd[{name}]: {(time.perf_counter()-t0)/10*1e3:.2f} ms")
 
 
 if __name__ == "__main__":
