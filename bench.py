@@ -79,7 +79,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cpu-baseline", action="store_true",
                    help="measure the CPU-JAX stand-in baseline instead")
-    p.add_argument("--lstm-impl", default="scan", choices=["scan", "pallas"])
+    p.add_argument("--lstm-impl", default="pallas", choices=["scan", "pallas"])
     p.add_argument("--batch", type=int, default=BATCH)
     args = p.parse_args()
 

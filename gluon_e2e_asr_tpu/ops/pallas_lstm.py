@@ -38,6 +38,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TIME_CHUNK = 16
 
+# Per-stream VMEM budget for the double-buffered time chunks. The forward
+# kernel streams 1 wide array (xs) + 2 narrow outputs; the backward kernel
+# streams 6; both also hold w (and dW) resident. These caps keep the
+# largest (xs-sized) block within budget for any (B, H).
+_FWD_XS_BLOCK_BYTES = int(2.75e6)
+_BWD_XS_BLOCK_BYTES = int(0.7e6)
+
+
+def _auto_chunk(tc: int, B: int, H4: int, budget: int) -> int:
+    """Largest chunk <= tc whose [tc, 2, B, 4H] f32 block fits the budget."""
+    per_step = 2 * B * H4 * 4
+    cap = max(1, budget // per_step)
+    return max(1, min(tc, cap))
+
 
 def _cell_math(xg, h, c, w, compute_dtype):
     """Shared gate math: xg [2,B,4H], h/c [2,B,H], w [2,H,4H]."""
@@ -67,7 +81,9 @@ def _fwd_kernel(xs_ref, vs_ref, w_ref, ys_ref, cs_ref, h_scr, c_scr, *,
 
     def body(i, _):
         xg = xs_ref[i].astype(jnp.float32)  # [2,B,4H]
-        v = vs_ref[i][..., None]  # [2,B,1]
+        # Masks travel as float32: Mosaic cannot reshape i1 vectors
+        # ("minor dim insertion only for 32-bit types").
+        v = vs_ref[i][..., None] > 0.5  # [2,B,1]
         h, c = h_scr[...], c_scr[...]
         h_new, c_new, _ = _cell_math(xg, h, c, w_ref[...], compute_dtype)
         h_scr[...] = jnp.where(v, h_new, h)
@@ -97,7 +113,7 @@ def _bwd_kernel(
     def body(k, _):
         i = tc - 1 - k  # within-chunk reverse order
         xg = xs_ref[i].astype(jnp.float32)
-        v = vs_ref[i][..., None]  # [2,B,1]
+        v = vs_ref[i][..., None] > 0.5  # [2,B,1] (f32 mask; see fwd kernel)
         h_prev = hprev_ref[i].astype(jnp.float32)
         c_prev = cprev_ref[i].astype(jnp.float32)
         c_t = cs_ref[i].astype(jnp.float32)
@@ -182,6 +198,7 @@ def bilstm_pallas(xg_f, xg_b, lens, w_hf, w_hb, compute_dtype=jnp.float32,
 def _bilstm_fwd_impl(xg_f, xg_b, lens, w_hf, w_hb, compute_dtype, tc):
     B, T, H4 = xg_f.shape
     H = H4 // 4
+    tc = _auto_chunk(tc, B, H4, _FWD_XS_BLOCK_BYTES)
     xs, vs = _prep(xg_f, xg_b, lens)
     xs, TP = _pad_time(xs, tc)
     vs, _ = _pad_time(vs, tc)
@@ -214,7 +231,7 @@ def _bilstm_fwd_impl(xg_f, xg_b, lens, w_hf, w_hb, compute_dtype, tc):
             pltpu.VMEM((2, B, H), jnp.float32),
         ],
         interpret=interpret,
-    )(xs, vs.astype(jnp.bool_), w)
+    )(xs, vs.astype(jnp.float32), w)
     ys = ys[:T]
     cs = cs[:T]
     fwd = jnp.swapaxes(ys[:, 0], 0, 1)
@@ -233,6 +250,10 @@ def _bilstm_vjp_bwd(compute_dtype, tc, res, g):
     xs, vs, ys, cs, w = res  # time-major, unpadded
     T, _, B, H = ys.shape
     H4 = 4 * H
+    # The backward kernel streams six arrays (vs three in forward); cap its
+    # time chunk so double-buffered blocks + resident w/dW fit the ~16 MB
+    # scoped VMEM limit.
+    tc = _auto_chunk(tc, B, H4, _BWD_XS_BLOCK_BYTES)
     # Incoming cotangent g: [B,T,2H] -> per-direction time-major dys.
     g_f = jnp.swapaxes(g[..., :H], 0, 1)  # [T,B,H]
     g_b = jnp.flip(jnp.swapaxes(g[..., H:], 0, 1), axis=0)
@@ -281,7 +302,7 @@ def _bilstm_vjp_bwd(compute_dtype, tc, res, g):
             pltpu.VMEM((2, H, H4), jnp.float32),
         ],
         interpret=interpret,
-    )(xs_p, vs_p.astype(jnp.bool_), hprev_p, cprev_p, cs_p, dys_p, w)
+    )(xs_p, vs_p.astype(jnp.float32), hprev_p, cprev_p, cs_p, dys_p, w)
     dxs = dxs[:T]  # [T,2,B,4H]
     dxg_f = jnp.swapaxes(dxs[:, 0], 0, 1)  # [B,T,4H]
     dxg_b = jnp.swapaxes(jnp.flip(dxs[:, 1], axis=0), 0, 1)

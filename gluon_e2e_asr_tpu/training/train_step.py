@@ -151,8 +151,14 @@ def compute_loss(
     config: Config,
     cmvn_stats=None,
     train: bool = True,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Full forward + hybrid loss [SURVEY.md §3.1 inner stack]."""
+    """Full forward + hybrid loss [SURVEY.md §3.1 inner stack].
+
+    Under shard_map (``axis_name`` set) the batch is the LOCAL shard; the
+    loss is normalized by the GLOBAL real-row count (psum) so that
+    psum-of-gradients reproduces single-device gradients exactly.
+    """
     k_spec, k_ss, k_drop = jax.random.split(rng, 3)
     feats, feat_len = frontend_apply(
         config.frontend,
@@ -166,6 +172,8 @@ def compute_loss(
     labels = batch["labels"]
     label_len = batch["label_len"]
     num_real = (batch["audio_len"] > 0).sum()
+    if axis_name is not None:
+        num_real = jax.lax.psum(num_real, axis_name)
 
     tokens_in = None
     if model.use_decoder:
@@ -196,9 +204,12 @@ def compute_loss(
             out["att_logits"], targets, tgt_mask * row_mask,
             config.loss.label_smoothing,
         )
-        att_acc = (acc * row_mask[:, 0]).sum() / jnp.maximum(
-            row_mask.sum(), 1.0
-        )
+        acc_num = (acc * row_mask[:, 0]).sum()
+        acc_den = row_mask.sum()
+        if axis_name is not None:
+            acc_num = jax.lax.psum(acc_num, axis_name)
+            acc_den = jax.lax.psum(acc_den, axis_name)
+        att_acc = acc_num / jnp.maximum(acc_den, 1.0)
     else:
         att_ce = jnp.zeros_like(ctc_nll)
     parts = hybrid_loss(ctc_nll, att_ce, label_len, mtl_alpha, num_real)

@@ -105,6 +105,34 @@ def test_dp_train_step_runs_and_matches():
         np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-4)
 
 
+def test_dp_with_pallas_lstm_matches_single_device():
+    """The Pallas BiLSTM kernel composes with pjit batch sharding: XLA
+    partitions around the custom call and the result matches exactly."""
+    from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+    from gluon_e2e_asr_tpu.models.asr import build_model
+    from gluon_e2e_asr_tpu.training.train_step import create_train_state
+
+    cfg, _, tx, _, batch = _setup()
+    cfg.model.lstm_impl = "pallas"
+    cfg.model.lstm_time_chunk = 4
+    tok = CharTokenizer()
+    model = build_model(cfg, tok.vocab_size, tok.sos_id, tok.eos_id)
+
+    mesh = make_mesh()
+    state = create_train_state(cfg, model, tx, batch)
+    step_dp = make_train_step(model, cfg, tx, mesh=mesh)
+    s_dp, m_dp = step_dp(state, shard_batch_arrays(mesh, batch))
+
+    state2 = create_train_state(cfg, model, tx, batch)
+    step_1 = make_train_step(model, cfg, tx, mesh=None)
+    s_1, m_1 = step_1(state2, {k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_dp.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s_1.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
 def test_batch_sharding_layout():
     mesh = make_mesh()
     x = np.zeros((8, 16), np.float32)
