@@ -53,9 +53,11 @@ class BiLSTMEncoder(nn.Module):
             x, lens = subsample_concat(x, lens, int(subs[layer]))
             H = cfg.enc_hidden
             # One fused input projection for both directions: [B,T,D]@[D,8H].
+            # Kept in compute dtype: with bf16 this halves the recurrent
+            # kernel's streamed HBM traffic; the (h, c) carries stay f32.
             xg = nn.Dense(8 * H, dtype=cdtype, name=f"l{layer}_in")(
                 x.astype(cdtype)
-            ).astype(jnp.float32)
+            )
             xg_f, xg_b = jnp.split(xg, 2, axis=-1)
             w_hf = self.param(
                 f"l{layer}_rec_f", nn.initializers.orthogonal(), (H, 4 * H)

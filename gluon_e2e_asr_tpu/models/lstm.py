@@ -67,7 +67,7 @@ def lstm_scan(
         out = jnp.where(vm, h_new, jnp.zeros_like(h_new))
         return (h, c), out
 
-    init = (jnp.zeros((B, H), x_gates.dtype), jnp.zeros((B, H), x_gates.dtype))
+    init = (jnp.zeros((B, H), jnp.float32), jnp.zeros((B, H), jnp.float32))
     _, ys = jax.lax.scan(step, init, (xs, vs))
     if reverse:
         ys = jnp.flip(ys, axis=0)
@@ -119,8 +119,8 @@ def bilstm_scan(
         return (h, c), out
 
     init = (
-        jnp.zeros((2, B, H), x_gates_f.dtype),
-        jnp.zeros((2, B, H), x_gates_f.dtype),
+        jnp.zeros((2, B, H), jnp.float32),
+        jnp.zeros((2, B, H), jnp.float32),
     )
     _, ys = jax.lax.scan(step, init, (xs, vs))  # ys [T, 2, B, H]
     fwd = jnp.swapaxes(ys[:, 0], 0, 1)  # [B, T, H]

@@ -61,14 +61,15 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
-def test_bfloat16_compute_dtype_trains():
+@pytest.mark.parametrize("lstm_impl", ["scan", "pallas"])
+def test_bfloat16_compute_dtype_trains(lstm_impl):
     """compute_dtype=bfloat16 (MXU path) runs and yields finite loss close
-    to the fp32 loss."""
+    to the fp32 loss, for both LSTM implementations (bf16 streams)."""
     batch = _batch()
     tok = CharTokenizer()
     losses = {}
     for dt in ("float32", "bfloat16"):
-        cfg = _cfg(compute_dtype=dt)
+        cfg = _cfg(compute_dtype=dt, lstm_impl=lstm_impl, lstm_time_chunk=4)
         model = build_model(cfg, tok.vocab_size)
         tx = make_optimizer(cfg)
         state = create_train_state(cfg, model, tx, batch)
