@@ -35,7 +35,7 @@ class DataConfig:
     # If >0, scale per-bucket batch size so batch_size*max_len is ~constant
     # (bounds padding-FLOP waste across buckets).
     dynamic_batch: bool = False
-    max_label_len: int = 64
+    max_label_len: int = 320
     shuffle: bool = True
     drop_last: bool = False
 

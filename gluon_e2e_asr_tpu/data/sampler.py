@@ -52,9 +52,10 @@ def make_bucket_specs(
         bs = batch_size
         if dynamic_batch:
             bs = max(1, int(batch_size * largest / b))
-        # Label budget scales with duration (chars are ~7/sec in LibriSpeech;
-        # synthetic data is ~7 chars/sec too).
-        ml = min(max_label_len, max(8, int(np.ceil(b * 10))))
+        # Label budget scales with duration. Real speech runs up to
+        # ~17 chars/sec (LibriSpeech); budget 20/sec so no utterance is
+        # dropped for text length unless it exceeds max_label_len.
+        ml = min(max_label_len, max(8, int(np.ceil(b * 20))))
         specs.append(BucketSpec(max_samples=n, max_labels=ml, batch_size=bs))
     return specs
 

@@ -62,7 +62,7 @@ def main(argv=None):
     specs = make_bucket_specs(
         config.data.bucket_bounds_sec, config.data.sample_rate,
         config.data.batch_size, config.data.max_label_len,
-        config.frontend.hop_length,
+        config.frontend.hop_length, config.data.dynamic_batch,
     )
     sampler = BucketSampler(dev_utts, specs, config.data.sample_rate,
                             seed=0, shuffle=False)

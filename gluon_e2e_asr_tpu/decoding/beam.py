@@ -253,6 +253,11 @@ def make_beam_decoder(
 
             # ---- continuation candidates: mask specials + force-close ----
             cont = joint
+            # Dead beam slots (only slot 0 is live at step 0) must be
+            # suppressed explicitly: at ctc_weight == 1.0 the att_sum term
+            # that used to carry their -inf has zero weight in `joint`.
+            alive = carry["att_sum"] > NEG_INF / 2  # [B,K]
+            cont = jnp.where(alive[..., None], cont, NEG_INF)
             # blank/sos/eos/unk never continue a hypothesis (eos is handled
             # by the finished buffer; unk is excluded from generation)
             bad = jnp.zeros((V,), bool).at[blank_id].set(True)

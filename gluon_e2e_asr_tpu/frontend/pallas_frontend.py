@@ -63,6 +63,7 @@ def _kernel(
     win_cos_ref,  # [win, n_freq] (window pre-multiplied)
     win_sin_ref,  # [win, n_freq]
     mel_ref,  # [n_freq, M]
+    cmvn_ref,  # [2, M]: (mean, std) for cmvn_mode == "global"
     # output
     out_ref,  # [1, FP, M]
     *,
@@ -103,7 +104,7 @@ def _kernel(
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-    # ---- CMVN over valid frames (utterance mode) ----
+    # ---- CMVN (before SpecAugment, matching the jnp path's order) ----
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (FP, n_mels), 0)
     valid = (row_ids < feat_len).astype(jnp.float32)
     if cmvn_mode == "utterance":
@@ -112,6 +113,10 @@ def _kernel(
         mean = jnp.sum(feats * valid, axis=0, keepdims=True) / denom
         var = jnp.sum((feats - mean) ** 2 * valid, axis=0, keepdims=True) / denom
         out_ref[0] = (feats - mean) * jax.lax.rsqrt(var + 1e-10)
+    elif cmvn_mode == "global":
+        mean = cmvn_ref[0:1, :]
+        std = cmvn_ref[1:2, :]
+        out_ref[0] = (out_ref[0] - mean) / jnp.maximum(std, 1e-5)
 
     # ---- SpecAugment (train only; TPU PRNG) ----
     if train_specaug:
@@ -214,6 +219,13 @@ def compute_features_pallas(
         sa_time_width=cfg.specaug_time_width,
     )
 
+    if cfg.cmvn == "global":
+        assert cmvn_stats is not None
+        cmvn_arr = jnp.stack([jnp.asarray(cmvn_stats[0], jnp.float32),
+                              jnp.asarray(cmvn_stats[1], jnp.float32)])
+    else:
+        cmvn_arr = jnp.zeros((2, M), jnp.float32)
+
     view_spec = pl.BlockSpec(
         (1, FP, hop), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
     )
@@ -224,6 +236,7 @@ def compute_features_pallas(
             view_spec,
             view_spec,
             view_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -239,14 +252,8 @@ def compute_features_pallas(
         out_shape=jax.ShapeDtypeStruct((B, FP, M), jnp.float32),
         interpret=interpret,
     )(feat_len, seeds, a1, a2, a3, jnp.asarray(wc), jnp.asarray(ws),
-      jnp.asarray(mel))
+      jnp.asarray(mel), cmvn_arr)
     feats = feats_padded[:, :F, :]
-
-    if cfg.cmvn == "global":
-        assert cmvn_stats is not None
-        mean, std = cmvn_stats
-        valid = (jnp.arange(F)[None, :] < feat_len[:, None])[..., None]
-        feats = jnp.where(valid, (feats - mean) / jnp.maximum(std, 1e-5), 0.0)
 
     if do_specaug and interpret:
         feats = spec_augment(

@@ -84,9 +84,11 @@ class BiLSTMEncoder(nn.Module):
                     # its backward by construction.
                     scan_fn = jax.checkpoint(scan_fn)
             x = scan_fn(xg_f, xg_b, lens, w_hf, w_hb)  # [B, T, 2H]
-            if train and cfg.enc_dropout > 0.0:
+            if train and cfg.enc_dropout > 0.0 and dropout_rng is not None:
+                # independent mask per layer
+                layer_rng = jax.random.fold_in(dropout_rng, layer)
                 x = nn.Dropout(cfg.enc_dropout, deterministic=False)(
-                    x, rng=dropout_rng
+                    x, rng=layer_rng
                 )
         # CTC projection head [SURVEY.md §2.1 #9]; loss applies log_softmax.
         ctc_logits = nn.Dense(self.vocab_size, dtype=cdtype, name="ctc_head")(

@@ -154,14 +154,28 @@ def ctc_forward_alpha(logp, input_lens, labels, label_lens, blank_id=0):
     return -ll  # [B]
 
 
+def _feasible(input_lens, labels, label_lens, blank_id):
+    """A CTC alignment exists iff T >= L + (# adjacent repeated labels):
+    each repeat needs an interposed blank frame. Infeasible rows (e.g. a
+    long transcript bucketed with short audio) would otherwise contribute
+    ~1e30 loss and poison the batch via global-norm gradient clipping."""
+    B, L = labels.shape
+    pos = jnp.arange(1, L)[None, :]
+    rep = (labels[:, 1:] == labels[:, :-1]) & (pos < label_lens[:, None])
+    needed = label_lens + rep.sum(axis=1)
+    return (input_lens > 0) & (input_lens >= needed)
+
+
 @jax.custom_vjp
 def ctc_loss(logits, input_lens, labels, label_lens, blank_id=0):
     """Per-sample CTC negative log likelihood [B] from raw logits
     [B, T, V]. Ragged time/label lengths handled by masking; rows with
-    input_len == 0 contribute exactly 0 loss and 0 gradient."""
+    input_len == 0 or an infeasible (too-long) label sequence contribute
+    exactly 0 loss and 0 gradient (like torch's zero_infinity)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = ctc_forward_alpha(logp, input_lens, labels, label_lens, blank_id)
-    return jnp.where(input_lens > 0, nll, 0.0)
+    ok = _feasible(input_lens, labels, label_lens, blank_id)
+    return jnp.where(ok, nll, 0.0)
 
 
 def _ctc_fwd(logits, input_lens, labels, label_lens, blank_id=0):
@@ -186,16 +200,18 @@ def _ctc_fwd(logits, input_lens, labels, label_lens, blank_id=0):
     aLm1 = jnp.where(label_lens > 0, aLm1, NEG_INF)
     m = jnp.maximum(aL, aLm1)
     ll = m + jnp.log(jnp.exp(aL - m) + jnp.exp(aLm1 - m))  # log p(l|x), [B]
-    nll = jnp.where(input_lens > 0, -ll, 0.0)
-    residuals = (logits, logp, alpha, ext, allow_skip, state_valid,
-                 input_lens, label_lens, ll, blank_id)
+    ok = _feasible(input_lens, labels, label_lens, blank_id)
+    nll = jnp.where(ok, -ll, 0.0)
+    # logits are recomputable from logp residency-wise; store logp only.
+    residuals = (logp, alpha, ext, allow_skip, state_valid,
+                 input_lens, label_lens, ll, ok, blank_id)
     return nll, residuals
 
 
 def _ctc_bwd(residuals, g):
-    (logits, logp, alpha, ext, allow_skip, state_valid,
-     input_lens, label_lens, ll, blank_id) = residuals
-    B, T, V = logits.shape
+    (logp, alpha, ext, allow_skip, state_valid,
+     input_lens, label_lens, ll, ok, blank_id) = residuals
+    B, T, V = logp.shape
     time_mask = jnp.arange(T)[:, None] < input_lens[None, :]
     logp_states = jnp.swapaxes(
         jnp.take_along_axis(logp, ext[:, None, :].astype(jnp.int32), axis=2), 0, 1
@@ -215,7 +231,7 @@ def _ctc_bwd(residuals, g):
     posterior = jnp.einsum("tbs,bsv->btv", post_states, onehot)  # [B,T,V]
     y = jnp.exp(logp)
     grad_logits = (y - posterior) * time_mask.T[:, :, None]
-    grad_logits = grad_logits * jnp.where(input_lens > 0, 1.0, 0.0)[:, None, None]
+    grad_logits = grad_logits * jnp.where(ok, 1.0, 0.0)[:, None, None]
     grad_logits = grad_logits * g[:, None, None]
     return grad_logits, None, None, None, None
 

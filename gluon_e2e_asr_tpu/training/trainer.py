@@ -101,6 +101,20 @@ class Trainer:
             config.data.sample_rate,
         )
 
+        # Surface silently unbucketable utterances [code-review finding]:
+        # dropped data must never be invisible.
+        for name, s, utts in (("train", self.sampler, self.train_utts),
+                              ("dev", self.dev_sampler, self.dev_utts)):
+            if s.skipped:
+                self.logger.log({
+                    "event": "data_skipped",
+                    "split": name,
+                    "skipped": len(s.skipped),
+                    "total": len(utts),
+                    "hint": "utterances exceeding every bucket bound "
+                            "(duration or label budget) are dropped",
+                })
+
         self.model = build_model(
             config, self.tokenizer.vocab_size,
             self.tokenizer.sos_id, self.tokenizer.eos_id,
@@ -207,9 +221,13 @@ class Trainer:
             window_t0, window_utts = time.perf_counter(), 0
             skip = self.skip_batches if epoch == self.epoch0 else 0
             stopped_at = -1
-            for batch_idx, b in enumerate(self.loader.epoch(epoch)):
+            for batch_idx, (bucket, idxs) in enumerate(
+                self.sampler.epoch_batches(epoch)
+            ):
                 if batch_idx < skip:
+                    # resume fast-forward: skip without building the batch
                     continue
+                b = self.loader.make_batch(bucket, idxs)
                 if 0 < tc.max_steps <= step:
                     stopped_at = batch_idx
                     break

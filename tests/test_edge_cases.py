@@ -10,21 +10,61 @@ from gluon_e2e_asr_tpu.ops.ctc import ctc_loss
 from gluon_e2e_asr_tpu.utils.logging import percentile
 
 
-def test_ctc_infeasible_label_no_nan():
-    """Label needs more frames than available (2L+1 > T with repeats):
-    loss is huge but finite-ish and grads contain no NaN."""
-    B, T, V, L = 1, 3, 5, 3
+def test_ctc_infeasible_label_zeroed():
+    """Label needs more frames than available (repeats require interposed
+    blanks): the row contributes exactly 0 loss and 0 gradient instead of
+    a ~1e30 loss that would poison global-norm clipping."""
+    B, T, V, L = 2, 3, 5, 3
     rng = np.random.RandomState(0)
     logits = jnp.asarray(rng.randn(B, T, V).astype(np.float32))
-    labels = jnp.array([[2, 2, 2]], jnp.int32)  # needs >= 2*3-1+... > 3 frames
-    loss = ctc_loss(logits, jnp.array([T], jnp.int32), labels,
-                    jnp.array([L], jnp.int32))
-    assert not np.isnan(float(loss[0]))
-    g = jax.grad(
-        lambda x: ctc_loss(x, jnp.array([T], jnp.int32), labels,
-                           jnp.array([L], jnp.int32)).sum()
-    )(logits)
+    # row 0: "2 2 2" needs 5 frames (two interposed blanks) > 3 -> infeasible
+    # row 1: "1 2 3" needs 3 frames == 3 -> feasible
+    labels = jnp.array([[2, 2, 2], [1, 2, 3]], jnp.int32)
+    lens_t = jnp.array([T, T], jnp.int32)
+    lens_l = jnp.array([L, L], jnp.int32)
+    loss = ctc_loss(logits, lens_t, labels, lens_l)
+    assert float(loss[0]) == 0.0
+    assert 0.0 < float(loss[1]) < 100.0
+    g = jax.grad(lambda x: ctc_loss(x, lens_t, labels, lens_l).sum())(logits)
+    np.testing.assert_array_equal(np.asarray(g[0]), 0.0)
+    assert np.abs(np.asarray(g[1])).sum() > 0
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_beam_pure_ctc_weight_no_collapse():
+    """ctc_weight=1.0: dead beam slots must stay suppressed via the alive
+    mask (the att term no longer carries their -inf)."""
+    from gluon_e2e_asr_tpu.config import Config, DecodeConfig, LossConfig, ModelConfig
+    from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+    from gluon_e2e_asr_tpu.decoding.beam import make_beam_decoder
+    from gluon_e2e_asr_tpu.models.asr import build_model
+    from gluon_e2e_asr_tpu.training.train_step import (
+        create_train_state, make_optimizer,
+    )
+
+    cfg = Config(
+        model=ModelConfig(enc_hidden=16, enc_layers=1, enc_subsample=(2,),
+                          dec_hidden=16, dec_embed=8, att_dim=8,
+                          att_type="add"),
+        loss=LossConfig(mtl_alpha=0.3),
+        decode=DecodeConfig(method="beam", beam_size=4, ctc_weight=1.0,
+                            maxlen_ratio=0.3),
+    )
+    tok = CharTokenizer()
+    model = build_model(cfg, tok.vocab_size)
+    rng = np.random.RandomState(1)
+    batch = {
+        "audio": rng.randn(2, 8000).astype(np.float32) * 0.1,
+        "audio_len": np.array([8000, 8000], np.int32),
+        "labels": rng.randint(4, 10, (2, 4)).astype(np.int32),
+        "label_len": np.array([4, 4], np.int32),
+    }
+    state = create_train_state(cfg, model, make_optimizer(cfg), batch)
+    decode = make_beam_decoder(model, cfg, tok)
+    texts, scores = decode(state.params, jnp.asarray(batch["audio"]),
+                           jnp.asarray(batch["audio_len"]))
+    assert len(texts) == 2
+    assert np.isfinite(scores).all()
 
 
 def test_beam_zero_length_row():
