@@ -155,15 +155,13 @@ def make_beam_decoder(
         enc_mask = (jnp.arange(T)[None, :] < enc_len[:, None]).astype(
             jnp.float32
         )
-        # Replicate encoder outputs across beams: [B*K, T, *].
-        enc_rep = jnp.repeat(enc, K, axis=0)
-        enc_mask_rep = jnp.repeat(enc_mask, K, axis=0)
+        # Encoder tensors stay [B,T,*]; only the small decoder state
+        # carries the beam axis (no K-fold replication of enc/enc_proj).
         enc_proj = model.apply(
             {"params": params}, enc, method=model.decoder_precompute
         )
-        enc_proj_rep = jnp.repeat(enc_proj, K, axis=0)
         dec_state0 = model.apply(
-            {"params": params}, B * K, T, method=model.decoder_init_state
+            {"params": params}, B, K, T, method=model.decoder_init_state_beam
         )
 
         maxlen = jnp.maximum(
@@ -200,10 +198,11 @@ def make_beam_decoder(
                 {"params": params},
                 carry["dec_state"],
                 tok_in,
-                enc_rep,
-                enc_proj_rep,
-                enc_mask_rep,
-                method=model.decoder_step,
+                enc,
+                enc_proj,
+                enc_mask,
+                K,
+                method=model.decoder_step_beam,
             )
             att_logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
 
@@ -304,21 +303,17 @@ def make_beam_decoder(
             else:
                 r = carry["r"]
 
-            # gather decoder state for parents (flattened B*K indexing)
+            # gather decoder state for parents (flattened B*K indexing for
+            # the cell state; beam-axis indexing for attention weights)
             flat_parent = (
                 parent + jnp.arange(B)[:, None] * K
             ).reshape(B * K)
-
-            def gather_state(x):
-                if x.ndim >= 2 and x.shape[-2] == B * K and x.ndim == 3:
-                    # [layers, B*K, H]
-                    return x[:, flat_parent]
-                return x[flat_parent]
-
             new_dec_state = {
                 "h": dec_state["h"][:, flat_parent],
                 "c": dec_state["c"][:, flat_parent],
-                "att_w": dec_state["att_w"][flat_parent],
+                "att_w": jnp.take_along_axis(
+                    dec_state["att_w"], parent[..., None], axis=1
+                ),
                 "context": dec_state["context"][flat_parent],
             }
 

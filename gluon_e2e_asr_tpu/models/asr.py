@@ -62,6 +62,14 @@ class ASRModel(nn.Module):
     def decoder_step(self, state, token, enc, enc_proj, enc_mask):
         return self.decoder.step(state, token, enc, enc_proj, enc_mask)
 
+    def decoder_init_state_beam(self, batch, beams, enc_frames):
+        return self.decoder.init_state_beam(batch, beams, enc_frames)
+
+    def decoder_step_beam(self, state, token, enc, enc_proj, enc_mask,
+                          beams):
+        return self.decoder.step_beam(state, token, enc, enc_proj, enc_mask,
+                                      beams)
+
 
 def build_model(config: Config, vocab_size: int, sos_id: int = 2,
                 eos_id: int = 3, use_decoder: Optional[bool] = None) -> ASRModel:

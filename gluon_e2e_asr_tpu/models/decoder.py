@@ -169,6 +169,89 @@ class AttentionDecoder(nn.Module):
         return new_state, logits
 
     # ------------------------------------------------------------------
+    # Beam-layout step: encoder tensors stay [B,T,*] (NOT replicated
+    # K-fold); only the small decoder state carries the beam axis.
+    # ------------------------------------------------------------------
+    def _attend_beam(self, query, enc, enc_proj, enc_mask, att_prev):
+        """query [B,K,H], enc [B,T,D], enc_proj [B,T,A], enc_mask [B,T],
+        att_prev [B,K,T] -> (context [B,K,D], att_w [B,K,T])."""
+        cfg = self.cfg
+        B, K, _ = query.shape
+        T = enc.shape[1]
+        q = jnp.einsum("bkh,ha->bka", query, self.att_q)
+        if cfg.att_type == "dot":
+            scores = jnp.einsum("bka,bta->bkt", q, enc_proj) / jnp.sqrt(
+                jnp.asarray(cfg.att_dim, jnp.float32)
+            )
+        else:
+            e = q[:, :, None, :] + enc_proj[:, None, :, :] + self.att_b
+            if cfg.att_type == "loc":
+                f = jax.lax.conv_general_dilated(
+                    att_prev.reshape(B * K, T, 1),
+                    self.loc_filter,
+                    window_strides=(1,),
+                    padding="SAME",
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                )
+                e = e + jnp.dot(
+                    f, self.loc_proj, preferred_element_type=jnp.float32
+                ).reshape(B, K, T, -1)
+            scores = (jnp.tanh(e) @ self.att_v)[..., 0]  # [B,K,T]
+        scores = jnp.where(enc_mask[:, None, :] > 0, scores, -1e30)
+        att_w = jax.nn.softmax(scores, axis=-1) * enc_mask[:, None, :]
+        context = jnp.einsum("bkt,btd->bkd", att_w, enc)
+        return context, att_w
+
+    def init_state_beam(self, batch: int, beams: int, enc_frames: int):
+        cfg = self.cfg
+        H, enc_dim = cfg.dec_hidden, 2 * cfg.enc_hidden
+        z = lambda *s: jnp.zeros(s, jnp.float32)
+        return {
+            "h": z(cfg.dec_layers, batch * beams, H),
+            "c": z(cfg.dec_layers, batch * beams, H),
+            "att_w": z(batch, beams, enc_frames),
+            "context": z(batch * beams, enc_dim),
+        }
+
+    def step_beam(self, state, token, enc, enc_proj, enc_mask, beams: int):
+        """One decode step over [B*K] flattened beams with shared encoder
+        tensors. token [B*K] -> (new_state, logits [B*K, V])."""
+        cfg = self.cfg
+        B = enc.shape[0]
+        emb = self.embed[token]
+        x = jnp.concatenate([emb, state["context"]], axis=-1)
+        hs, cs = [], []
+        for l in range(cfg.dec_layers):
+            xg = jnp.dot(x, self.w_x[l],
+                         preferred_element_type=jnp.float32) + self.b_x[l]
+            h_new, c_new = lstm_cell_step(
+                state["h"][l], state["c"][l], xg, self.w_h[l]
+            )
+            hs.append(h_new)
+            cs.append(c_new)
+            x = h_new
+        query = hs[-1].reshape(B, beams, -1)
+        context, att_w = self._attend_beam(
+            query, enc, enc_proj, enc_mask, state["att_w"]
+        )
+        context_flat = context.reshape(B * beams, -1)
+        logits = (
+            jnp.dot(
+                jnp.concatenate([hs[-1], context_flat], axis=-1),
+                self.w_out,
+                preferred_element_type=jnp.float32,
+            )
+            + self.b_out
+        )
+        new_state = {
+            "h": jnp.stack(hs),
+            "c": jnp.stack(cs),
+            "att_w": att_w,
+            "context": context_flat,
+        }
+        return new_state, logits
+
+    # ------------------------------------------------------------------
     # Teacher-forced training pass (lax.scan) with scheduled sampling
     # ------------------------------------------------------------------
     def __call__(
