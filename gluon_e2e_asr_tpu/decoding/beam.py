@@ -163,6 +163,10 @@ def make_beam_decoder(
         dec_state0 = model.apply(
             {"params": params}, B, K, T, method=model.decoder_init_state_beam
         )
+        # Location-attention band matrix: built once, outside the scan.
+        loc_band = model.apply(
+            {"params": params}, T, method=model.decoder_loc_band
+        )
 
         maxlen = jnp.maximum(
             (dc.maxlen_ratio * enc_len.astype(jnp.float32)).astype(jnp.int32), 1
@@ -202,6 +206,7 @@ def make_beam_decoder(
                 enc_proj,
                 enc_mask,
                 K,
+                loc_band,
                 method=model.decoder_step_beam,
             )
             att_logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)

@@ -66,9 +66,14 @@ class ASRModel(nn.Module):
         return self.decoder.init_state_beam(batch, beams, enc_frames)
 
     def decoder_step_beam(self, state, token, enc, enc_proj, enc_mask,
-                          beams):
+                          beams, loc_band=None):
         return self.decoder.step_beam(state, token, enc, enc_proj, enc_mask,
-                                      beams)
+                                      beams, loc_band)
+
+    def decoder_loc_band(self, enc_frames):
+        if self.cfg.att_type != "loc":
+            return None
+        return self.decoder.build_loc_band(enc_frames)
 
 
 def build_model(config: Config, vocab_size: int, sos_id: int = 2,

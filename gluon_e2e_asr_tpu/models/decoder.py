@@ -93,7 +93,52 @@ class AttentionDecoder(nn.Module):
             preferred_element_type=jnp.float32,
         )
 
-    def _attend(self, query, enc, enc_proj, enc_mask, att_prev):
+    def build_loc_band(self, T: int) -> jnp.ndarray:
+        """Banded matrix realizing the location conv as one MXU matmul.
+
+        ``conv_general_dilated`` inside the decode scan was the single most
+        expensive op of the train step (~9 ms of 35 at B=16: conv + its
+        backward lower poorly inside lax.scan). Same math as a matmul:
+        out[n,t,c] = sum_s att[n,s] * Band[s,(t,c)] with
+        Band[s,t,c] = filter[s - t + (w-1)//2, 0, c] (XLA SAME alignment,
+        verified empirically). MUST be built OUTSIDE any scan (the gather
+        and its scatter-backward are per-call costs); callers pass it into
+        step/step_beam. Returns [T, T*C], or None when the band would be
+        too large (long buckets: T*T*C floats) — callers then fall back
+        to the conv path."""
+        cfg = self.cfg
+        if T * T * cfg.loc_conv_channels > 16_000_000:  # > 64 MB f32
+            return None
+        w = cfg.loc_conv_width
+        pad_left = (w - 1) // 2
+        s_idx = jnp.arange(T)[:, None]
+        t_idx = jnp.arange(T)[None, :]
+        k = s_idx - t_idx + pad_left  # [T,T]
+        valid = (k >= 0) & (k < w)
+        gathered = self.loc_filter[jnp.clip(k, 0, w - 1), 0, :]  # [T,T,C]
+        band = jnp.where(valid[..., None], gathered, 0.0)
+        return band.reshape(T, T * cfg.loc_conv_channels)
+
+    def _loc_feature(self, att_prev_flat: jnp.ndarray, loc_band) -> jnp.ndarray:
+        """att_prev_flat [N, T] -> [N, T, C]: banded matmul when a band is
+        available, conv otherwise (long-bucket fallback)."""
+        T = att_prev_flat.shape[-1]
+        if loc_band is not None:
+            out = jnp.dot(
+                att_prev_flat, loc_band, preferred_element_type=jnp.float32
+            )
+            return out.reshape(att_prev_flat.shape[0], T,
+                               self.cfg.loc_conv_channels)
+        return jax.lax.conv_general_dilated(
+            att_prev_flat[:, :, None],
+            self.loc_filter,
+            window_strides=(1,),
+            padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+
+    def _attend(self, query, enc, enc_proj, enc_mask, att_prev,
+                loc_band=None):
         """query [B,H] -> (context [B,enc_dim], att_w [B,T])."""
         cfg = self.cfg
         q = jnp.dot(query, self.att_q, preferred_element_type=jnp.float32)  # [B,A]
@@ -104,14 +149,9 @@ class AttentionDecoder(nn.Module):
         else:
             e = q[:, None, :] + enc_proj + self.att_b  # [B,T,A]
             if cfg.att_type == "loc":
-                # Conv feature over previous attention weights [B,T] -> [B,T,C].
-                f = jax.lax.conv_general_dilated(
-                    att_prev[:, :, None],
-                    self.loc_filter,
-                    window_strides=(1,),
-                    padding="SAME",
-                    dimension_numbers=("NWC", "WIO", "NWC"),
-                )
+                # Location feature over previous attention weights
+                # [B,T] -> [B,T,C], as a banded matmul (see build_loc_band).
+                f = self._loc_feature(att_prev, loc_band)
                 e = e + jnp.dot(f, self.loc_proj,
                                 preferred_element_type=jnp.float32)
             scores = jnp.tanh(e) @ self.att_v  # [B,T,1]
@@ -138,8 +178,10 @@ class AttentionDecoder(nn.Module):
             "context": z(batch, enc_dim),
         }
 
-    def step(self, state, token, enc, enc_proj, enc_mask):
-        """One decode step. token [B] int32 -> (new_state, logits [B,V])."""
+    def step(self, state, token, enc, enc_proj, enc_mask, loc_band=None):
+        """One decode step. token [B] int32 -> (new_state, logits [B,V]).
+        For loc attention inside a scan, pass a prebuilt ``loc_band``
+        (build_loc_band) — building it per step is pathological."""
         cfg = self.cfg
         emb = self.embed[token]  # [B,E]
         x = jnp.concatenate([emb, state["context"]], axis=-1)
@@ -154,7 +196,7 @@ class AttentionDecoder(nn.Module):
             x = h_new
         query = hs[-1]
         context, att_w = self._attend(query, enc, enc_proj, enc_mask,
-                                      state["att_w"])
+                                      state["att_w"], loc_band)
         logits = (
             jnp.dot(jnp.concatenate([query, context], axis=-1), self.w_out,
                     preferred_element_type=jnp.float32)
@@ -172,7 +214,8 @@ class AttentionDecoder(nn.Module):
     # Beam-layout step: encoder tensors stay [B,T,*] (NOT replicated
     # K-fold); only the small decoder state carries the beam axis.
     # ------------------------------------------------------------------
-    def _attend_beam(self, query, enc, enc_proj, enc_mask, att_prev):
+    def _attend_beam(self, query, enc, enc_proj, enc_mask, att_prev,
+                     loc_band=None):
         """query [B,K,H], enc [B,T,D], enc_proj [B,T,A], enc_mask [B,T],
         att_prev [B,K,T] -> (context [B,K,D], att_w [B,K,T])."""
         cfg = self.cfg
@@ -186,13 +229,7 @@ class AttentionDecoder(nn.Module):
         else:
             e = q[:, :, None, :] + enc_proj[:, None, :, :] + self.att_b
             if cfg.att_type == "loc":
-                f = jax.lax.conv_general_dilated(
-                    att_prev.reshape(B * K, T, 1),
-                    self.loc_filter,
-                    window_strides=(1,),
-                    padding="SAME",
-                    dimension_numbers=("NWC", "WIO", "NWC"),
-                )
+                f = self._loc_feature(att_prev.reshape(B * K, T), loc_band)
                 e = e + jnp.dot(
                     f, self.loc_proj, preferred_element_type=jnp.float32
                 ).reshape(B, K, T, -1)
@@ -213,7 +250,8 @@ class AttentionDecoder(nn.Module):
             "context": z(batch * beams, enc_dim),
         }
 
-    def step_beam(self, state, token, enc, enc_proj, enc_mask, beams: int):
+    def step_beam(self, state, token, enc, enc_proj, enc_mask, beams: int,
+                  loc_band=None):
         """One decode step over [B*K] flattened beams with shared encoder
         tensors. token [B*K] -> (new_state, logits [B*K, V])."""
         cfg = self.cfg
@@ -232,7 +270,7 @@ class AttentionDecoder(nn.Module):
             x = h_new
         query = hs[-1].reshape(B, beams, -1)
         context, att_w = self._attend_beam(
-            query, enc, enc_proj, enc_mask, state["att_w"]
+            query, enc, enc_proj, enc_mask, state["att_w"], loc_band
         )
         context_flat = context.reshape(B * beams, -1)
         logits = (
@@ -267,6 +305,9 @@ class AttentionDecoder(nn.Module):
         L = tokens_in.shape[1]
         enc_mask = (jnp.arange(T)[None, :] < enc_len[:, None]).astype(jnp.float32)
         enc_proj = self.precompute(enc)
+        # Built once, closure-captured: scan treats it as loop-invariant.
+        loc_band = (self.build_loc_band(T)
+                    if self.cfg.att_type == "loc" else None)
         state0 = self.init_state(B, T)
 
         use_ss = ss_prob > 0.0 and ss_rng is not None
@@ -279,7 +320,8 @@ class AttentionDecoder(nn.Module):
             state, prev_pred = carry
             gold_tok, coin = inp
             tok = jnp.where(coin, prev_pred, gold_tok)
-            state, logits = self.step(state, tok, enc, enc_proj, enc_mask)
+            state, logits = self.step(state, tok, enc, enc_proj, enc_mask,
+                                      loc_band)
             pred = jnp.argmax(logits, axis=-1).astype(tokens_in.dtype)
             return (state, pred), logits
 
