@@ -24,6 +24,10 @@ import time
 
 import numpy as np
 
+from gluon_e2e_asr_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
 # Measured on this machine (see BASELINE.md): CPU-JAX utt/sec on the same
 # batch shapes and model config as the TPU benchmark below.
 CPU_BASELINE_UTT_PER_SEC = 0.433  # measured 2026-08-16, python bench.py --cpu-baseline
