@@ -335,7 +335,24 @@ def make_beam_decoder(
             }
             return new_carry, None
 
-        final, _ = jax.lax.scan(step, init, jnp.arange(Lmax))
+        # Early termination: beyond every sample's per-utterance maxlen all
+        # continuations are -inf and finished-buffer updates are no-ops, so
+        # stopping at max(maxlen) is exactly equivalent to running the full
+        # static Lmax — but skips dead iterations when the bucket is padded
+        # well past its members' audio lengths.
+        max_steps = jnp.minimum(jnp.max(maxlen), Lmax)
+
+        def cond_fn(carry_i):
+            _, i = carry_i
+            return i < max_steps
+
+        def body_fn(carry_i):
+            carry, i = carry_i
+            carry, _ = step(carry, i)
+            return (carry, i + 1)
+
+        final, _ = jax.lax.while_loop(cond_fn, body_fn,
+                                      (init, jnp.int32(0)))
         # Best finished hypothesis per sample (buffer is already sorted by
         # top_k each step; take argmax to be safe).
         best = jnp.argmax(final["fin_score"], axis=1)  # [B]
