@@ -123,6 +123,11 @@ class TrainConfig:
     grad_clip_norm: float = 5.0
     # Data parallelism over ICI [BASELINE.json:L5,L10].
     dp: bool = False
+    # DP mechanism: "shard_map" (explicit per-shard program + psum(grads);
+    # keeps Pallas kernels shard-local on real multi-chip meshes) or
+    # "pjit" (sharding annotations; XLA chooses the partitioning around
+    # custom calls) [SURVEY.md §2.3; docs/ROADMAP.md #2].
+    dp_impl: str = "shard_map"
     # Checkpointing / metrics.
     ckpt_dir: str = "ckpts"
     keep_ckpts: int = 3

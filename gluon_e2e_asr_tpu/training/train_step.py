@@ -227,11 +227,31 @@ def make_train_step(
     cmvn_stats=None,
 ):
     """Build the jitted train step. With a mesh, the batch arrives sharded
-    over the ``data`` axis and params replicated; XLA inserts the ICI
-    gradient allreduce [BASELINE.json:L10]."""
+    over the ``data`` axis and params replicated; the gradient allreduce
+    rides ICI [BASELINE.json:L10]. Two DP mechanisms
+    (``config.train.dp_impl``):
 
-    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    * ``shard_map`` (default) — the step body runs as an explicit
+      per-shard program: the local shard computes local grads (loss
+      normalized by the psum'd GLOBAL real-row count inside
+      ``compute_loss``), then ``psum(grads)`` reproduces single-device
+      gradients exactly. Kernels (Pallas LSTM, frontend) stay
+      shard-local by construction — XLA cannot insert all-gathers
+      around the custom calls. Per-shard PRNG: the step key is
+      ``fold_in``-ed with ``axis_index('data')`` so SpecAugment /
+      dropout / scheduled-sampling draws differ per shard (no key
+      reuse across shards [SURVEY.md §5 race-detection analogue]).
+    * ``pjit`` — sharding annotations on a global-view program; XLA
+      chooses the partitioning and inserts the allreduce.
+    """
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                axis_name: Optional[str] = None):
         new_rng, step_rng = jax.random.split(state.rng)
+        if axis_name is not None:
+            step_rng = jax.random.fold_in(
+                step_rng, jax.lax.axis_index(axis_name)
+            )
         grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
         (_, metrics), grads = grad_fn(
             state.params,
@@ -241,7 +261,15 @@ def make_train_step(
             config=config,
             cmvn_stats=cmvn_stats,
             train=True,
+            axis_name=axis_name,
         )
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+            # Loss parts are local partial sums over a GLOBAL denominator
+            # (compute_loss psums num_real); summing shards yields the
+            # global means.
+            for k in ("loss", "loss_ctc", "loss_att"):
+                metrics[k] = jax.lax.psum(metrics[k], axis_name)
         grad_norm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -253,6 +281,30 @@ def make_train_step(
             rng=new_rng,
         )
         return new_state, metrics
+
+    if mesh is not None and config.train.dp_impl == "shard_map":
+        from jax.sharding import PartitionSpec as P
+
+        from gluon_e2e_asr_tpu.parallel.mesh import DATA_AXIS
+
+        data_spec = P(DATA_AXIS)
+        batch_specs = {
+            "audio": data_spec, "audio_len": data_spec,
+            "labels": data_spec, "label_len": data_spec,
+        }
+        # check_vma=False: the scan carries (LSTM/decoder/CTC) initialize
+        # as unvarying zeros and become data-varying on the first step,
+        # which the vma checker rejects; replication of the outputs is
+        # guaranteed manually (psum'd grads -> identical update on every
+        # shard) and verified by the DP-equality tests.
+        sharded_fn = jax.shard_map(
+            functools.partial(step_fn, axis_name=DATA_AXIS),
+            mesh=mesh,
+            in_specs=(P(), batch_specs),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded_fn, donate_argnums=(0,))
 
     if mesh is not None:
         repl = replicated_sharding(mesh)

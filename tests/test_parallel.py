@@ -30,11 +30,20 @@ from gluon_e2e_asr_tpu.training.train_step import (
 )
 
 
-def _setup(dp_batch=8):
+def _setup(dp_batch=8, deterministic=False):
+    from gluon_e2e_asr_tpu.config import FrontendConfig
+
+    # deterministic=True removes every stochastic draw (SpecAugment; the
+    # config already has no dropout / scheduled sampling) so tests that
+    # compare DP mechanisms with DIFFERENT per-shard PRNG disciplines
+    # (shard_map folds in axis_index) still expect identical math.
+    frontend = (FrontendConfig(specaug_freq_masks=0, specaug_time_masks=0)
+                if deterministic else FrontendConfig())
     cfg = Config(
         data=DataConfig(dataset="synthetic", synth_num_train=dp_batch,
                         synth_max_tokens=5, batch_size=dp_batch,
                         bucket_bounds_sec=(1.5,)),
+        frontend=frontend,
         model=ModelConfig(enc_hidden=32, enc_layers=2, enc_subsample=(1, 2),
                           dec_hidden=32, dec_embed=16, att_dim=16,
                           att_type="add"),
@@ -87,6 +96,7 @@ def test_dp_grads_match_single_device():
 
 def test_dp_train_step_runs_and_matches():
     cfg, model, tx, state, batch = _setup()
+    cfg.train.dp_impl = "pjit"  # global-view program: same PRNG draws as 1-dev
     mesh = make_mesh()
     step_dp = make_train_step(model, cfg, tx, mesh=mesh)
     step_1d = make_train_step(model, cfg, tx, mesh=None)
@@ -113,6 +123,7 @@ def test_dp_with_pallas_lstm_matches_single_device():
     from gluon_e2e_asr_tpu.training.train_step import create_train_state
 
     cfg, _, tx, _, batch = _setup()
+    cfg.train.dp_impl = "pjit"
     cfg.model.lstm_impl = "pallas"
     cfg.model.lstm_time_chunk = 4
     tok = CharTokenizer()
@@ -129,6 +140,72 @@ def test_dp_with_pallas_lstm_matches_single_device():
     np.testing.assert_allclose(float(m_dp["loss"]), float(m_1["loss"]),
                                rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_dp.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s_1.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+def test_shard_map_step_matches_single_device():
+    """shard_map DP (psum(grads) on local shards) reproduces the
+    single-device step exactly on a deterministic config. The loss is
+    normalized by the psum'd GLOBAL real-row count inside compute_loss,
+    so summed shard gradients equal global-batch gradients."""
+    cfg, model, tx, state, batch = _setup(deterministic=True)
+    cfg.train.dp_impl = "shard_map"
+    mesh = make_mesh()
+    step_sm = make_train_step(model, cfg, tx, mesh=mesh)
+    s_sm, m_sm = step_sm(state, shard_batch_arrays(mesh, batch))
+
+    cfg2, model2, tx2, state2, batch2 = _setup(deterministic=True)
+    step_1 = make_train_step(model2, cfg2, tx2, mesh=None)
+    s_1, m_1 = step_1(state2, {k: jnp.asarray(v) for k, v in batch2.items()})
+
+    np.testing.assert_allclose(float(m_sm["loss"]), float(m_1["loss"]),
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(m_sm["grad_norm"]),
+                               float(m_1["grad_norm"]), rtol=2e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(jax.device_get(s_sm.params)),
+                     jax.tree_util.tree_leaves(jax.device_get(s_1.params))):
+        np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-4)
+
+
+def test_shard_map_step_stochastic_runs():
+    """With SpecAugment on, each shard folds axis_index into its step key
+    (distinct draws per shard — PRNG discipline [SURVEY.md §5]); the step
+    must still run and produce a finite, replicated loss."""
+    cfg, model, tx, state, batch = _setup()
+    cfg.train.dp_impl = "shard_map"
+    mesh = make_mesh()
+    step_sm = make_train_step(model, cfg, tx, mesh=mesh)
+    s_sm, m_sm = step_sm(state, shard_batch_arrays(mesh, batch))
+    assert np.isfinite(float(m_sm["loss"]))
+    assert int(m_sm["num_real"]) == batch["audio"].shape[0]
+    # second step runs off the donated state
+    s_sm2, m2 = step_sm(s_sm, shard_batch_arrays(mesh, batch))
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_shard_map_with_pallas_lstm_matches_single_device():
+    """The Pallas BiLSTM kernel runs shard-local under shard_map (the
+    whole point of dp_impl=shard_map: no XLA all-gather around the
+    custom call) and matches the single-device step exactly."""
+    cfg, _, tx, _, batch = _setup(deterministic=True)
+    cfg.train.dp_impl = "shard_map"
+    cfg.model.lstm_impl = "pallas"
+    cfg.model.lstm_time_chunk = 4
+    tok = CharTokenizer()
+    model = build_model(cfg, tok.vocab_size, tok.sos_id, tok.eos_id)
+
+    mesh = make_mesh()
+    state = create_train_state(cfg, model, tx, batch)
+    step_sm = make_train_step(model, cfg, tx, mesh=mesh)
+    s_sm, m_sm = step_sm(state, shard_batch_arrays(mesh, batch))
+
+    state2 = create_train_state(cfg, model, tx, batch)
+    step_1 = make_train_step(model, cfg, tx, mesh=None)
+    s_1, m_1 = step_1(state2, {k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(float(m_sm["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_sm.params)),
                     jax.tree_util.tree_leaves(jax.device_get(s_1.params))):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
 
