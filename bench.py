@@ -41,7 +41,7 @@ MEASURE_STEPS = 10
 
 
 def build(dp: bool, lstm_impl: str = "scan", batch_size: int = BATCH,
-          compute_dtype: str = "float32"):
+          compute_dtype: str = "float32", dec_impl: str = "scan"):
     import jax
 
     from __graft_entry__ import _flagship_config, _synth_batch
@@ -54,6 +54,7 @@ def build(dp: bool, lstm_impl: str = "scan", batch_size: int = BATCH,
     config = _flagship_config(tiny=False)
     config.model.lstm_impl = lstm_impl
     config.model.compute_dtype = compute_dtype
+    config.model.dec_impl = dec_impl
     tok = CharTokenizer()
     model = build_model(config, tok.vocab_size, tok.sos_id, tok.eos_id)
     tx = make_optimizer(config)
@@ -86,6 +87,7 @@ def main():
     p.add_argument("--cpu-baseline", action="store_true",
                    help="measure the CPU-JAX stand-in baseline instead")
     p.add_argument("--lstm-impl", default="pallas", choices=["scan", "pallas"])
+    p.add_argument("--dec-impl", default="pallas", choices=["scan", "pallas"])
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--batch", type=int, default=BATCH)
     args = p.parse_args()
@@ -113,7 +115,8 @@ def main():
     n_chips = max(len(jax.devices()), 1)
     state, step, batch = build(dp=False, lstm_impl=args.lstm_impl,
                                batch_size=args.batch,
-                               compute_dtype=args.dtype)
+                               compute_dtype=args.dtype,
+                               dec_impl=args.dec_impl)
     ups = measure(state, step, batch)
     per_chip = ups  # single-chip benchmark (one real chip on this host)
     print(

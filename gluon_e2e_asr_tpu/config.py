@@ -94,6 +94,12 @@ class ModelConfig:
     # "pallas" (VMEM-resident-weight kernel, ops/pallas_lstm.py).
     lstm_impl: str = "scan"
     lstm_time_chunk: int = 16
+    # Teacher-forced decoder implementation: "scan" (lax.scan baseline)
+    # or "pallas" (fused per-step kernel + mirrored backward,
+    # ops/pallas_decoder.py). "pallas" silently falls back to scan when
+    # the shape is unsupported (dec_layers > 1, att_type "dot", or over
+    # the VMEM budget).
+    dec_impl: str = "scan"
 
 
 @dataclass

@@ -290,6 +290,48 @@ class AttentionDecoder(nn.Module):
         return new_state, logits
 
     # ------------------------------------------------------------------
+    # Fused Pallas decoder path (ops/pallas_decoder.py)
+    # ------------------------------------------------------------------
+    def _use_fused(self, B: int, T: int) -> bool:
+        cfg = self.cfg
+        if cfg.dec_impl != "pallas":
+            return False
+        if cfg.dec_layers != 1 or cfg.att_type not in ("add", "loc"):
+            return False
+        from gluon_e2e_asr_tpu.ops.pallas_decoder import fused_supported
+
+        is_loc = cfg.att_type == "loc"
+        return fused_supported(
+            B, T, 2 * cfg.enc_hidden, cfg.att_dim, cfg.dec_embed,
+            cfg.dec_hidden, self.vocab_size,
+            cfg.loc_conv_channels if is_loc else 1,
+            cfg.compute_dtype, is_loc,
+        )
+
+    def _fused_call(self, enc, enc_proj, enc_mask, tokens_in, coins):
+        """Teacher-forced pass through the fused kernel. ``coins`` [L,B]
+        bool; step 0 is forced to the gold sos outside the kernel."""
+        from gluon_e2e_asr_tpu.ops.pallas_decoder import (
+            DEFAULT_L_CHUNK, build_loc_band_cmajor, las_decoder_fused)
+
+        cfg = self.cfg
+        T = enc.shape[1]
+        is_loc = cfg.att_type == "loc"
+        coins_bl = jnp.swapaxes(coins, 0, 1).astype(jnp.float32)
+        coins_bl = coins_bl.at[:, 0].set(0.0)
+        band2 = (build_loc_band_cmajor(self.loc_filter, T)
+                 if is_loc else jnp.zeros((1, 1), jnp.float32))
+        loc_proj = (self.loc_proj if is_loc
+                    else jnp.zeros((1, cfg.att_dim), jnp.float32))
+        return las_decoder_fused(
+            (cfg.compute_dtype, DEFAULT_L_CHUNK, is_loc),
+            tokens_in, coins_bl, enc, enc_proj, enc_mask, band2,
+            self.embed, self.w_x[0], self.b_x[0], self.w_h[0],
+            self.att_q, self.att_b, self.att_v, loc_proj,
+            self.w_out, self.b_out,
+        )
+
+    # ------------------------------------------------------------------
     # Teacher-forced training pass (lax.scan) with scheduled sampling
     # ------------------------------------------------------------------
     def __call__(
@@ -305,16 +347,21 @@ class AttentionDecoder(nn.Module):
         L = tokens_in.shape[1]
         enc_mask = (jnp.arange(T)[None, :] < enc_len[:, None]).astype(jnp.float32)
         enc_proj = self.precompute(enc)
-        # Built once, closure-captured: scan treats it as loop-invariant.
-        loc_band = (self.build_loc_band(T)
-                    if self.cfg.att_type == "loc" else None)
-        state0 = self.init_state(B, T)
 
         use_ss = ss_prob > 0.0 and ss_rng is not None
         if use_ss:
             coins = jax.random.bernoulli(ss_rng, ss_prob, (L, B))
         else:
             coins = jnp.zeros((L, B), bool)
+
+        if self._use_fused(B, T):
+            return self._fused_call(enc, enc_proj, enc_mask, tokens_in,
+                                    coins)
+
+        # Built once, closure-captured: scan treats it as loop-invariant.
+        loc_band = (self.build_loc_band(T)
+                    if self.cfg.att_type == "loc" else None)
+        state0 = self.init_state(B, T)
 
         def scan_step(carry, inp):
             state, prev_pred = carry
