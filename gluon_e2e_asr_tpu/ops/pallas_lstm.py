@@ -40,10 +40,13 @@ DEFAULT_TIME_CHUNK = 16
 
 # Per-stream VMEM budget for the double-buffered time chunks. The forward
 # kernel streams 1 wide array (xs) + 2 narrow outputs; the backward kernel
-# streams 6; both also hold w (and dW) resident. These caps keep the
-# largest (xs-sized) block within budget for any (B, H).
-_FWD_XS_BLOCK_BYTES = int(2.75e6)
-_BWD_XS_BLOCK_BYTES = int(0.7e6)
+# streams 6; both also hold w (and dW) resident. This chip runs kernels
+# far past the default ~16 MB scoped VMEM (96 MB scratch verified with an
+# explicit 128 MB limit — see ops/pallas_decoder.py), so the caps size the
+# double-buffered blocks for pipelining, not for a 16 MB ceiling.
+_FWD_XS_BLOCK_BYTES = int(11e6)
+_BWD_XS_BLOCK_BYTES = int(5.5e6)
+_VMEM_LIMIT = 128 * 1024 * 1024
 
 
 def _auto_chunk(tc: int, B: int, H4: int, budget: int) -> int:
@@ -230,6 +233,7 @@ def _bilstm_fwd_impl(xg_f, xg_b, lens, w_hf, w_hb, compute_dtype, tc):
             pltpu.VMEM((2, B, H), jnp.float32),
             pltpu.VMEM((2, B, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xs, vs.astype(jnp.float32), w)
     ys = ys[:T]
@@ -301,6 +305,7 @@ def _bilstm_vjp_bwd(compute_dtype, tc, res, g):
             pltpu.VMEM((2, B, H), jnp.float32),
             pltpu.VMEM((2, H, H4), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xs_p, vs_p.astype(jnp.float32), hprev_p, cprev_p, cs_p, dys_p, w)
     dxs = dxs[:T]  # [T,2,B,4H]
