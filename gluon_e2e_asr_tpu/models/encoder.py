@@ -52,13 +52,15 @@ class BiLSTMEncoder(nn.Module):
         for layer in range(cfg.enc_layers):
             x, lens = subsample_concat(x, lens, int(subs[layer]))
             H = cfg.enc_hidden
-            # One fused input projection for both directions: [B,T,D]@[D,8H].
-            # Kept in compute dtype: with bf16 this halves the recurrent
-            # kernel's streamed HBM traffic; the (h, c) carries stay f32.
-            xg = nn.Dense(8 * H, dtype=cdtype, name=f"l{layer}_in")(
-                x.astype(cdtype)
+            D = x.shape[-1]
+            # One input projection for both directions [D, 8H], shared by
+            # the scan path (XLA matmul) and the fused kernel (which
+            # computes it per time chunk in VMEM, docs/ROADMAP.md #3).
+            w_in = self.param(
+                f"l{layer}_in_w", nn.initializers.lecun_normal(), (D, 8 * H)
             )
-            xg_f, xg_b = jnp.split(xg, 2, axis=-1)
+            b_in = self.param(f"l{layer}_in_b", nn.initializers.zeros,
+                              (8 * H,))
             w_hf = self.param(
                 f"l{layer}_rec_f", nn.initializers.orthogonal(), (H, 4 * H)
             )
@@ -66,16 +68,20 @@ class BiLSTMEncoder(nn.Module):
                 f"l{layer}_rec_b", nn.initializers.orthogonal(), (H, 4 * H)
             )
             # Both directions share one sequential loop (see bilstm_scan /
-            # bilstm_pallas — identical numerics, parity-tested).
+            # bilstm_fused — identical numerics, parity-tested).
             if cfg.lstm_impl == "pallas":
-                from gluon_e2e_asr_tpu.ops.pallas_lstm import bilstm_pallas
+                from gluon_e2e_asr_tpu.ops.pallas_lstm import bilstm_fused
 
                 # custom_vjp functions take positional args only.
-                tc_ = int(cfg.lstm_time_chunk)
-                scan_fn = lambda xf, xb, l, wf, wb: bilstm_pallas(
-                    xf, xb, l, wf, wb, cdtype, tc_
-                )
+                x = bilstm_fused(x, lens, w_in, b_in, w_hf, w_hb, cdtype,
+                                 int(cfg.lstm_time_chunk))  # [B, T, 2H]
             else:
+                xg = (
+                    jnp.dot(x.astype(cdtype), w_in.astype(cdtype),
+                            preferred_element_type=jnp.float32)
+                    + b_in
+                ).astype(cdtype)
+                xg_f, xg_b = jnp.split(xg, 2, axis=-1)
                 scan_fn = functools.partial(bilstm_scan, compute_dtype=cdtype)
                 if cfg.remat:
                     # Recompute the scan in the backward pass instead of
@@ -83,7 +89,7 @@ class BiLSTMEncoder(nn.Module):
                     # long buckets). The pallas kernel recomputes gates in
                     # its backward by construction.
                     scan_fn = jax.checkpoint(scan_fn)
-            x = scan_fn(xg_f, xg_b, lens, w_hf, w_hb)  # [B, T, 2H]
+                x = scan_fn(xg_f, xg_b, lens, w_hf, w_hb)  # [B, T, 2H]
             if train and cfg.enc_dropout > 0.0 and dropout_rng is not None:
                 # independent mask per layer
                 layer_rng = jax.random.fold_in(dropout_rng, layer)

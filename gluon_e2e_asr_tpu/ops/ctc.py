@@ -30,6 +30,15 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _use_pallas(T: int, B: int, S: int) -> bool:
+    """Dispatch the recursions to the Pallas kernels (ops/pallas_ctc.py)
+    when the resident tables fit VMEM; the lax.scan path remains the
+    fallback and the numerics reference."""
+    from gluon_e2e_asr_tpu.ops.pallas_ctc import ctc_supported
+
+    return ctc_supported(T, B, S)
+
+
 def _expand_labels(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
     """[B, L] -> blank-interleaved state labels [B, 2L+1]:
     (blank, l1, blank, l2, ..., lL, blank)."""
@@ -46,10 +55,23 @@ def _transition_mask(ext_labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
     return (lab != blank_id) & (lab != lab_m2)
 
 
+def _gather_states(logp: jnp.ndarray, ext: jnp.ndarray) -> jnp.ndarray:
+    """[B,T,V] log-probs + [B,S] state labels -> [T,B,S] emissions.
+    One-hot MXU matmul instead of take_along_axis: the [B,T,S] gather is
+    ~1-2 ms at flagship shapes on TPU, the matmul is ~30 M MACs."""
+    V = logp.shape[-1]
+    onehot = jax.nn.one_hot(ext, V, dtype=logp.dtype)  # [B,S,V]
+    return jnp.einsum("btv,bsv->tbs", logp, onehot)
+
+
 def _alpha_scan(logp_states, time_mask, allow_skip, state_valid):
     """Forward recursion. logp_states: [T, B, S] log-prob of each state's
     emission at each time. Returns alpha [T, B, S] (log space)."""
     T, B, S = logp_states.shape
+    if _use_pallas(T, B, S):
+        from gluon_e2e_asr_tpu.ops.pallas_ctc import alpha_pallas
+
+        return alpha_pallas(logp_states, time_mask, allow_skip, state_valid)
     init = jnp.full((B, S), NEG_INF)
     init = init.at[:, 0].set(0.0)  # before consuming t=0: mass at state 0
 
@@ -136,10 +158,7 @@ def ctc_forward_alpha(logp, input_lens, labels, label_lens, blank_id=0):
     state_valid = jnp.arange(S)[None, :] < (2 * label_lens + 1)[:, None]
     time_mask = (jnp.arange(T)[:, None] < input_lens[None, :])  # [T,B]
 
-    logp_states = jnp.take_along_axis(
-        logp, ext[:, None, :].astype(jnp.int32), axis=2
-    )  # [B,T,S]
-    logp_states = jnp.swapaxes(logp_states, 0, 1)  # [T,B,S]
+    logp_states = _gather_states(logp, ext)  # [T,B,S]
 
     alpha = _alpha_scan(logp_states, time_mask, allow_skip, state_valid)
     a_last = alpha[-1]  # [B,S] (frozen at each sample's last frame)
@@ -187,9 +206,7 @@ def _ctc_fwd(logits, input_lens, labels, label_lens, blank_id=0):
     allow_skip = _transition_mask(ext, blank_id)
     state_valid = jnp.arange(S)[None, :] < (2 * label_lens + 1)[:, None]
     time_mask = jnp.arange(T)[:, None] < input_lens[None, :]
-    logp_states = jnp.swapaxes(
-        jnp.take_along_axis(logp, ext[:, None, :].astype(jnp.int32), axis=2), 0, 1
-    )
+    logp_states = _gather_states(logp, ext)
     alpha = _alpha_scan(logp_states, time_mask, allow_skip, state_valid)
     last_state = 2 * label_lens
     a_last = alpha[-1]
@@ -212,20 +229,26 @@ def _ctc_bwd(residuals, g):
     (logp, alpha, ext, allow_skip, state_valid,
      input_lens, label_lens, ll, ok, blank_id) = residuals
     B, T, V = logp.shape
+    S = alpha.shape[-1]
     time_mask = jnp.arange(T)[:, None] < input_lens[None, :]
-    logp_states = jnp.swapaxes(
-        jnp.take_along_axis(logp, ext[:, None, :].astype(jnp.int32), axis=2), 0, 1
-    )
-    beta = _beta_scan(logp_states, time_mask, allow_skip, state_valid,
-                      2 * label_lens)
-    # gamma[t,s] = alpha + beta - emit (emission counted once).
-    gamma = alpha + beta - logp_states  # [T,B,S]
-    # Posterior over states normalized by total likelihood: exp(gamma - ll).
-    post_states = jnp.exp(
-        jnp.clip(gamma - ll[None, :, None], min=2 * NEG_INF, max=0.0)
-    )
-    post_states = jnp.where(state_valid[None], post_states, 0.0)
-    post_states = jnp.where(time_mask[:, :, None], post_states, 0.0)
+    logp_states = _gather_states(logp, ext)
+    if _use_pallas(T, B, S):
+        from gluon_e2e_asr_tpu.ops.pallas_ctc import beta_post_pallas
+
+        post_states = beta_post_pallas(
+            logp_states, time_mask, allow_skip, state_valid,
+            2 * label_lens, alpha, ll)
+    else:
+        beta = _beta_scan(logp_states, time_mask, allow_skip, state_valid,
+                          2 * label_lens)
+        # gamma[t,s] = alpha + beta - emit (emission counted once).
+        gamma = alpha + beta - logp_states  # [T,B,S]
+        # Posterior over states normalized by likelihood: exp(gamma - ll).
+        post_states = jnp.exp(
+            jnp.clip(gamma - ll[None, :, None], min=2 * NEG_INF, max=0.0)
+        )
+        post_states = jnp.where(state_valid[None], post_states, 0.0)
+        post_states = jnp.where(time_mask[:, :, None], post_states, 0.0)
     # Scatter states -> vocab via one-hot matmul (MXU) [module docstring].
     onehot = jax.nn.one_hot(ext, V, dtype=post_states.dtype)  # [B,S,V]
     posterior = jnp.einsum("tbs,bsv->btv", post_states, onehot)  # [B,T,V]

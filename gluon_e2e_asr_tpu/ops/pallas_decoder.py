@@ -57,7 +57,7 @@ _T_CHUNK = 64  # T is padded to a multiple of this; e-temps are [Bb,Tc,A]
 # physical VMEM is large). Budget conservatively below the limit so
 # Mosaic keeps room for double-buffered streams and temporaries.
 _VMEM_LIMIT = 128 * 1024 * 1024
-_VMEM_BUDGET = int(72e6)
+_VMEM_BUDGET = int(120e6)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -85,20 +85,29 @@ def build_loc_band_cmajor(loc_filter: jnp.ndarray, T: int) -> jnp.ndarray:
 
 def _estimate_vmem(Bb: int, T: int, D: int, A: int, E: int, H: int, V: int,
                    C: int, Lc: int, cd_bytes: int, is_loc: bool) -> int:
-    fixed = cd_bytes * (
+    fixed = 2 * cd_bytes * (  # x2: Pallas double-buffers blocks
         (T * C * T if is_loc else 0)  # band
         + V * E + (E + D) * 4 * H + H * 4 * H + H * A + C * A
         + (H + D) * V + 4 * H + A + A + V
     )
     per_b = (
-        cd_bytes * Bb * T * (D + A)  # enc, enc_proj
+        # enc/enc_proj residents are b-indexed blocks: Pallas allocates
+        # 2 buffering levels for any block whose index map varies.
+        2 * cd_bytes * Bb * T * (D + A)
         + 4 * Bb * T  # mask
         + 2 * 4 * Bb * _T_CHUNK * A  # chunked f32 e-temps
-        + 4 * Bb * (C * T + 2 * T + D + 2 * H + 16)  # f_ct + scratch
-        # double-buffered streamed blocks (logits + residuals, f32)
-        + 2 * 4 * Bb * Lc * (V + 2 * H + T + D + 4)
+        # backward adds a [Bb,T,A] f32 d_enc_proj out block (2 levels)
+        # and a same-size accumulator scratch
+        + 3 * 4 * Bb * T * A
+        + 4 * Bb * (2 * C * T + 2 * T + D + 2 * H + 16)  # slabs + scratch
+        # double-buffered streamed blocks (cotangents + residuals, f32;
+        # the backward streams ~2x the forward's set incl. d_f)
+        + 4 * 4 * Bb * Lc * (V + 3 * H + 2 * T + 2 * D + C * T // Lc + 8)
     )
-    return fixed + per_b
+    # register-allocator spill slots observed ~21 MB for the big
+    # backward body, plus Mosaic temporaries.
+    slack = int(24e6)
+    return fixed + per_b + slack
 
 
 def pick_block_batch(B: int, T: int, D: int, A: int, E: int, H: int, V: int,

@@ -316,3 +316,388 @@ def _bilstm_vjp_bwd(compute_dtype, tc, res, g):
 
 
 bilstm_pallas.defvjp(_bilstm_vjp_fwd, _bilstm_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: input projection fused into the kernel (docs/ROADMAP.md #3)
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel consumes precomputed input projections in a packed
+# [T, 2, B, 4H] layout; building that layout (swapaxes/flip/stack) and
+# round-tripping it through HBM showed up as ~1.5 ms of slice/bitcast
+# fusions per step in the profile. v2 takes the raw layer input
+# [B, T, D] directly: each grid step DMAs one natural-layout time chunk
+# per direction (the backward direction simply indexes blocks in
+# reverse), computes the input projection for the whole chunk as one
+# full-width MXU matmul into VMEM scratch, and runs the recurrence off
+# that scratch. The backward kernel recomputes the projections the same
+# way and accumulates dW_x / dW_h / db as chunk-merged matmuls; dx
+# streams out in natural layout (half the bytes of d(projections)).
+
+_V2_VMEM_LIMIT = 128 * 1024 * 1024
+
+
+def _cell_fwd_dir(xg, h, c, w_h, compute_dtype):
+    gates = xg + jax.lax.dot_general(
+        h.astype(compute_dtype), w_h.astype(compute_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    H = h.shape[-1]
+    si = jax.nn.sigmoid(gates[:, :H])
+    sf = jax.nn.sigmoid(gates[:, H:2 * H] + 1.0)
+    tg = jnp.tanh(gates[:, 2 * H:3 * H])
+    so = jax.nn.sigmoid(gates[:, 3 * H:])
+    c_new = sf * c + si * tg
+    h_new = so * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def _v2_fwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref, wx_ref, bx_ref,
+                   whf_ref, whb_ref,
+                   ysf_ref, ysb_ref, csf_ref, csb_ref,
+                   hf_scr, cf_scr, hb_scr, cb_scr, xgf_scr, xgb_scr, *,
+                   tc: int, H: int, compute_dtype):
+    cd = compute_dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        hf_scr[...] = jnp.zeros_like(hf_scr)
+        cf_scr[...] = jnp.zeros_like(cf_scr)
+        hb_scr[...] = jnp.zeros_like(hb_scr)
+        cb_scr[...] = jnp.zeros_like(cb_scr)
+
+    # Whole-chunk input projections: one full-width MXU matmul per dir.
+    xgf_scr[...] = jax.lax.dot_general(
+        xf_ref[...].astype(cd), wx_ref[:, :4 * H].astype(cd),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bx_ref[:, :4 * H][None]
+    xgb_scr[...] = jax.lax.dot_general(
+        xb_ref[...].astype(cd), wx_ref[:, 4 * H:].astype(cd),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bx_ref[:, 4 * H:][None]
+
+    def body(k, _):
+        # forward direction: natural time order within the chunk
+        vf = vf_ref[:, pl.ds(k, 1), 0] > 0.5  # [B,1]
+        h, c = hf_scr[...], cf_scr[...]
+        h_new, c_new = _cell_fwd_dir(xgf_scr[:, pl.ds(k, 1), :][:, 0, :],
+                                     h, c, whf_ref[...], cd)
+        hf_scr[...] = jnp.where(vf, h_new, h)
+        cf_scr[...] = jnp.where(vf, c_new, c)
+        ysf_ref[:, pl.ds(k, 1), :] = jnp.where(
+            vf, h_new, 0.0).astype(ysf_ref.dtype)[:, None, :]
+        csf_ref[:, pl.ds(k, 1), :] = jnp.where(
+            vf, c_new, 0.0).astype(csf_ref.dtype)[:, None, :]
+        # backward direction: reverse order within the (reverse-indexed)
+        # chunk, so it sweeps global time T-1 -> 0
+        i = tc - 1 - k
+        vb = vb_ref[:, pl.ds(i, 1), 0] > 0.5
+        h, c = hb_scr[...], cb_scr[...]
+        h_new, c_new = _cell_fwd_dir(xgb_scr[:, pl.ds(i, 1), :][:, 0, :],
+                                     h, c, whb_ref[...], cd)
+        hb_scr[...] = jnp.where(vb, h_new, h)
+        cb_scr[...] = jnp.where(vb, c_new, c)
+        ysb_ref[:, pl.ds(i, 1), :] = jnp.where(
+            vb, h_new, 0.0).astype(ysb_ref.dtype)[:, None, :]
+        csb_ref[:, pl.ds(i, 1), :] = jnp.where(
+            vb, c_new, 0.0).astype(csb_ref.dtype)[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, tc, body, 0)
+
+
+def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
+                   hpf_ref, cpf_ref, cf_ref, dyf_ref,
+                   hpb_ref, cpb_ref, cb_ref, dyb_ref,
+                   wx_ref, bx_ref, whf_ref, whb_ref,
+                   dxf_ref, dxb_ref, dwx_ref, dbx_ref, dwhf_ref, dwhb_ref,
+                   dhf_scr, dcf_scr, dhb_scr, dcb_scr,
+                   xgf_scr, xgb_scr, dgf_scr, dgb_scr,
+                   dwx_acc, dbx_acc, dwhf_acc, dwhb_acc, *,
+                   tc: int, H: int, D: int, compute_dtype):
+    """Reverse sweep. Grid step c: forward direction processes time
+    blocks in reverse (refs indexed n-1-c outside), backward direction in
+    natural order (its own reverse)."""
+    cd = compute_dtype
+    B = dhf_scr.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dhf_scr[...] = jnp.zeros_like(dhf_scr)
+        dcf_scr[...] = jnp.zeros_like(dcf_scr)
+        dhb_scr[...] = jnp.zeros_like(dhb_scr)
+        dcb_scr[...] = jnp.zeros_like(dcb_scr)
+        dwx_acc[...] = jnp.zeros_like(dwx_acc)
+        dbx_acc[...] = jnp.zeros_like(dbx_acc)
+        dwhf_acc[...] = jnp.zeros_like(dwhf_acc)
+        dwhb_acc[...] = jnp.zeros_like(dwhb_acc)
+
+    xgf_scr[...] = jax.lax.dot_general(
+        xf_ref[...].astype(cd), wx_ref[:, :4 * H].astype(cd),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bx_ref[:, :4 * H][None]
+    xgb_scr[...] = jax.lax.dot_general(
+        xb_ref[...].astype(cd), wx_ref[:, 4 * H:].astype(cd),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bx_ref[:, 4 * H:][None]
+
+    def dir_step(i, xg_scr, hp_ref, cp_ref, c_ref, dy_ref, v_ref, wh_ref,
+                 dh_scr, dc_scr, dg_scr):
+        v = v_ref[:, pl.ds(i, 1), 0] > 0.5
+        h_prev = hp_ref[:, pl.ds(i, 1), :][:, 0, :]
+        c_prev = cp_ref[:, pl.ds(i, 1), :][:, 0, :]
+        c_t = c_ref[:, pl.ds(i, 1), :][:, 0, :]
+        gates = xg_scr[:, pl.ds(i, 1), :][:, 0, :] + jax.lax.dot_general(
+            h_prev.astype(cd), wh_ref[...].astype(cd),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        si = jax.nn.sigmoid(gates[:, :H])
+        sf = jax.nn.sigmoid(gates[:, H:2 * H] + 1.0)
+        tg = jnp.tanh(gates[:, 2 * H:3 * H])
+        so = jax.nn.sigmoid(gates[:, 3 * H:])
+        tanh_c = jnp.tanh(c_t)
+        dh_total = (jnp.where(v, dy_ref[:, pl.ds(i, 1), :][:, 0, :], 0.0)
+                    + dh_scr[...])
+        do = dh_total * tanh_c
+        dc = dh_total * so * (1.0 - tanh_c * tanh_c) + dc_scr[...]
+        dgates = jnp.concatenate(
+            [
+                dc * tg * si * (1.0 - si),
+                dc * c_prev * sf * (1.0 - sf),
+                dc * si * (1.0 - tg * tg),
+                do * so * (1.0 - so),
+            ],
+            axis=-1,
+        )
+        dgates = jnp.where(v, dgates, 0.0)
+        dh_rec = jax.lax.dot_general(
+            dgates.astype(cd), wh_ref[...].astype(cd),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dh_scr[...] = jnp.where(v, dh_rec, dh_total)
+        dc_scr[...] = jnp.where(v, dc * sf, dc_scr[...])
+        dg_scr[:, pl.ds(i, 1), :] = dgates[:, None, :]
+
+    def body(k, _):
+        # forward dir: within-chunk reverse (global reverse sweep)
+        dir_step(tc - 1 - k, xgf_scr, hpf_ref, cpf_ref, cf_ref, dyf_ref,
+                 vf_ref, whf_ref, dhf_scr, dcf_scr, dgf_scr)
+        # backward dir: within-chunk natural order (its reverse sweep)
+        dir_step(k, xgb_scr, hpb_ref, cpb_ref, cb_ref, dyb_ref,
+                 vb_ref, whb_ref, dhb_scr, dcb_scr, dgb_scr)
+        return 0
+
+    jax.lax.fori_loop(0, tc, body, 0)
+
+    # Chunk-merged weight-gradient matmuls (full MXU width).
+    rows = B * tc
+    xf2 = xf_ref[...].astype(cd).reshape(rows, D)
+    xb2 = xb_ref[...].astype(cd).reshape(rows, D)
+    dgf2 = dgf_scr[...].reshape(rows, 4 * H)
+    dgb2 = dgb_scr[...].reshape(rows, 4 * H)
+    tT = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b.astype(cd), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwx_acc[:, :4 * H] += tT(xf2, dgf2)
+    dwx_acc[:, 4 * H:] += tT(xb2, dgb2)
+    dbx_acc[:, :4 * H] += jnp.sum(dgf2, axis=0)[None]
+    dbx_acc[:, 4 * H:] += jnp.sum(dgb2, axis=0)[None]
+    dwhf_acc[...] += tT(hpf_ref[...].astype(cd).reshape(rows, H), dgf2)
+    dwhb_acc[...] += tT(hpb_ref[...].astype(cd).reshape(rows, H), dgb2)
+
+    dxf_ref[...] = jax.lax.dot_general(
+        dgf_scr[...].astype(cd), wx_ref[:, :4 * H].astype(cd),
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dxf_ref.dtype)
+    dxb_ref[...] = jax.lax.dot_general(
+        dgb_scr[...].astype(cd), wx_ref[:, 4 * H:].astype(cd),
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dxb_ref.dtype)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _flush():
+        dwx_ref[...] = dwx_acc[...]
+        dbx_ref[...] = dbx_acc[...]
+        dwhf_ref[...] = dwhf_acc[...]
+        dwhb_ref[...] = dwhb_acc[...]
+
+
+def _v2_pad_time(x, tc):
+    T = x.shape[1]
+    pad = (-T) % tc
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+    return x, T + pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def bilstm_fused(x, lens, w_x, b_x, w_hf, w_hb, compute_dtype=jnp.float32,
+                 time_chunk=DEFAULT_TIME_CHUNK):
+    """BiLSTM layer with the input projection fused into the kernel.
+
+    x [B,T,D]; w_x [D,8H] (forward gates then backward gates, matching a
+    single dense over both directions); b_x [8H]; w_hf/w_hb [H,4H].
+    Returns concat(fwd, bwd) outputs [B,T,2H].
+    """
+    out, _ = _v2_fwd_impl(x, lens, w_x, b_x, w_hf, w_hb, compute_dtype,
+                          time_chunk)
+    return out
+
+
+def _v2_fwd_impl(x, lens, w_x, b_x, w_hf, w_hb, compute_dtype, tc):
+    B, T, D = x.shape
+    H = w_hf.shape[0]
+    cd = jnp.dtype(compute_dtype)
+    interpret = jax.default_backend() != "tpu"
+    xp, TP = _v2_pad_time(x, tc)
+    valid = (jnp.arange(TP)[None, :] < lens[:, None]).astype(
+        jnp.float32)[..., None]  # [B,TP,1] (Mosaic block-tiling rules)
+    n = TP // tc
+
+    fwd3 = lambda: pl.BlockSpec((B, tc, D), lambda c: (0, c, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    rev3 = lambda: pl.BlockSpec((B, tc, D), lambda c: (0, n - 1 - c, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    fwd2 = lambda: pl.BlockSpec((B, tc, 1), lambda c: (0, c, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    rev2 = lambda: pl.BlockSpec((B, tc, 1), lambda c: (0, n - 1 - c, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    const = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda c: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+    outf = lambda: pl.BlockSpec((B, tc, H), lambda c: (0, c, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    outb = lambda: pl.BlockSpec((B, tc, H), lambda c: (0, n - 1 - c, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+
+    wx_c = w_x.astype(cd)
+    bx_c = b_x.reshape(1, -1).astype(jnp.float32)
+    whf_c = w_hf.astype(cd)
+    whb_c = w_hb.astype(cd)
+    # Residual/stream dtype stays f32: Mosaic miscompiles bf16 stores of
+    # lane-unaligned (H=320) middle slices, and f32 residuals keep the
+    # gate recompute in the backward exact.
+    sdtype = jnp.float32
+
+    ys_f, ys_b, cs_f, cs_b = pl.pallas_call(
+        functools.partial(_v2_fwd_kernel, tc=tc, H=H, compute_dtype=cd),
+        grid=(n,),
+        in_specs=[fwd3(), rev3(), fwd2(), rev2(),
+                  const(wx_c), const(bx_c), const(whf_c), const(whb_c)],
+        out_specs=[outf(), outb(), outf(), outb()],
+        out_shape=[jax.ShapeDtypeStruct((B, TP, H), sdtype)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, tc, 4 * H), jnp.float32),
+            pltpu.VMEM((B, tc, 4 * H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_V2_VMEM_LIMIT),
+        interpret=interpret,
+    )(xp.astype(cd), xp.astype(cd), valid, valid, wx_c, bx_c, whf_c, whb_c)
+
+    out = jnp.concatenate(
+        [ys_f[:, :T].astype(jnp.float32), ys_b[:, :T].astype(jnp.float32)],
+        axis=-1)
+    return out, (xp, valid, ys_f, ys_b, cs_f, cs_b, w_x, b_x, w_hf, w_hb, T)
+
+
+def _v2_vjp_fwd(x, lens, w_x, b_x, w_hf, w_hb, compute_dtype, tc):
+    return _v2_fwd_impl(x, lens, w_x, b_x, w_hf, w_hb, compute_dtype, tc)
+
+
+def _v2_vjp_bwd(compute_dtype, tc, res, g):
+    xp, valid, ys_f, ys_b, cs_f, cs_b, w_x, b_x, w_hf, w_hb, T = res
+    B, TP, D = xp.shape
+    H = w_hf.shape[0]
+    cd = jnp.dtype(compute_dtype)
+    interpret = jax.default_backend() != "tpu"
+    n = TP // tc
+
+    zrow = jnp.zeros((B, 1, H), ys_f.dtype)
+    hp_f = jnp.concatenate([zrow, ys_f[:, :-1]], axis=1)
+    cp_f = jnp.concatenate([zrow, cs_f[:, :-1]], axis=1)
+    # backward dir processes time TP-1 -> 0; its "previous" state is t+1
+    hp_b = jnp.concatenate([ys_b[:, 1:], zrow], axis=1)
+    cp_b = jnp.concatenate([cs_b[:, 1:], zrow], axis=1)
+    gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, TP - T), (0, 0)))
+    dy_f = gp[..., :H]
+    dy_b = gp[..., H:]
+
+    fwd3d = lambda last: pl.BlockSpec(  # noqa: E731
+        (B, tc, last), lambda c: (0, n - 1 - c, 0), memory_space=pltpu.VMEM)
+    nat3d = lambda last: pl.BlockSpec(  # noqa: E731
+        (B, tc, last), lambda c: (0, c, 0), memory_space=pltpu.VMEM)
+    fwd2d = lambda: pl.BlockSpec((B, tc, 1), lambda c: (0, n - 1 - c, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    nat2d = lambda: pl.BlockSpec((B, tc, 1), lambda c: (0, c, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    const = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda c: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    wx_c = w_x.astype(cd)
+    bx_c = b_x.reshape(1, -1).astype(jnp.float32)
+    whf_c = w_hf.astype(cd)
+    whb_c = w_hb.astype(cd)
+
+    outs = pl.pallas_call(
+        functools.partial(_v2_bwd_kernel, tc=tc, H=H, D=D, compute_dtype=cd),
+        grid=(n,),
+        in_specs=[
+            fwd3d(D), nat3d(D), fwd2d(), nat2d(),
+            fwd3d(H), fwd3d(H), fwd3d(H), fwd3d(H),
+            nat3d(H), nat3d(H), nat3d(H), nat3d(H),
+            const(wx_c), const(bx_c), const(whf_c), const(whb_c),
+        ],
+        out_specs=[
+            fwd3d(D), nat3d(D),
+            const(wx_c), const(bx_c), const(whf_c), const(whb_c),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, TP, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, TP, D), jnp.float32),
+            jax.ShapeDtypeStruct(wx_c.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 8 * H), jnp.float32),
+            jax.ShapeDtypeStruct(whf_c.shape, jnp.float32),
+            jax.ShapeDtypeStruct(whb_c.shape, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, tc, 4 * H), jnp.float32),
+            pltpu.VMEM((B, tc, 4 * H), jnp.float32),
+            pltpu.VMEM((B, tc, 4 * H), jnp.float32),
+            pltpu.VMEM((B, tc, 4 * H), jnp.float32),
+            pltpu.VMEM((D, 8 * H), jnp.float32),
+            pltpu.VMEM((1, 8 * H), jnp.float32),
+            pltpu.VMEM((H, 4 * H), jnp.float32),
+            pltpu.VMEM((H, 4 * H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_V2_VMEM_LIMIT),
+        interpret=interpret,
+    )(
+        xp.astype(cd), xp.astype(cd), valid, valid,
+        hp_f, cp_f, cs_f, dy_f,
+        hp_b, cp_b, cs_b, dy_b,
+        wx_c, bx_c, whf_c, whb_c,
+    )
+    dx_f, dx_b, dwx, dbx, dwhf, dwhb = outs
+    dx = (dx_f + dx_b)[:, :T]
+    return (dx.astype(jnp.float32), None, dwx.astype(w_x.dtype),
+            dbx.reshape(-1).astype(b_x.dtype), dwhf.astype(w_hf.dtype),
+            dwhb.astype(w_hb.dtype))
+
+
+bilstm_fused.defvjp(_v2_vjp_fwd, _v2_vjp_bwd)
