@@ -64,19 +64,29 @@ def build(dp: bool, lstm_impl: str = "scan", batch_size: int = BATCH,
     return state, step, batch
 
 
-def measure(state, step, batch) -> float:
+def _fetch(state) -> float:
+    # On this image's axon platform block_until_ready does not reliably
+    # fence short async dispatch chains (BASELINE.md); pulling real bytes
+    # from the final state does, and each step depends on the previous
+    # state, so this serializes the whole chain.
     import jax
+
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
+
+def measure(state, step, batch) -> float:
     import jax.numpy as jnp
 
     bsz = batch["audio"].shape[0]
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, dev_batch)
-    jax.block_until_ready(state.params)
+    _fetch(state)
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         state, metrics = step(state, dev_batch)
-    jax.block_until_ready(state.params)
+    _fetch(state)
     dt = time.perf_counter() - t0
     assert np.isfinite(float(metrics["loss"]))
     return bsz * MEASURE_STEPS / dt

@@ -435,32 +435,48 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
         dwhf_acc[...] = jnp.zeros_like(dwhf_acc)
         dwhb_acc[...] = jnp.zeros_like(dwhb_acc)
 
-    xgf_scr[...] = jax.lax.dot_general(
-        xf_ref[...].astype(cd), wx_ref[:, :4 * H].astype(cd),
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bx_ref[:, :4 * H][None]
-    xgb_scr[...] = jax.lax.dot_general(
-        xb_ref[...].astype(cd), wx_ref[:, 4 * H:].astype(cd),
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bx_ref[:, 4 * H:][None]
+    # Gate recompute is hoisted out of the sequential loop: h_prev comes
+    # from the STORED forward outputs (not the backward recursion), so
+    # gates = xg + h_prev @ W_h is computable for the whole chunk as one
+    # full-width MXU matmul, and the activations as one chunk-wide VPU
+    # pass. The in-loop critical path then carries a single matmul
+    # (dh_rec) instead of two. xg*_scr is transformed in place into the
+    # activation layout [si | sf | tg | so].
+    def recompute_acts(xg_scr, x_ref, wx_cols, bx_cols, hp_ref, wh_ref):
+        gates = jax.lax.dot_general(
+            x_ref[...].astype(cd), wx_cols.astype(cd),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bx_cols[None] + jax.lax.dot_general(
+            hp_ref[...].astype(cd), wh_ref[...].astype(cd),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        xg_scr[...] = jnp.concatenate(
+            [
+                jax.nn.sigmoid(gates[..., :H]),
+                jax.nn.sigmoid(gates[..., H:2 * H] + 1.0),
+                jnp.tanh(gates[..., 2 * H:3 * H]),
+                jax.nn.sigmoid(gates[..., 3 * H:]),
+            ],
+            axis=-1,
+        )
+
+    recompute_acts(xgf_scr, xf_ref, wx_ref[:, :4 * H], bx_ref[:, :4 * H],
+                   hpf_ref, whf_ref)
+    recompute_acts(xgb_scr, xb_ref, wx_ref[:, 4 * H:], bx_ref[:, 4 * H:],
+                   hpb_ref, whb_ref)
 
     def dir_step(i, xg_scr, hp_ref, cp_ref, c_ref, dy_ref, v_ref, wh_ref,
                  dh_scr, dc_scr, dg_scr):
         v = v_ref[:, pl.ds(i, 1), 0] > 0.5
-        h_prev = hp_ref[:, pl.ds(i, 1), :][:, 0, :]
         c_prev = cp_ref[:, pl.ds(i, 1), :][:, 0, :]
         c_t = c_ref[:, pl.ds(i, 1), :][:, 0, :]
-        gates = xg_scr[:, pl.ds(i, 1), :][:, 0, :] + jax.lax.dot_general(
-            h_prev.astype(cd), wh_ref[...].astype(cd),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        si = jax.nn.sigmoid(gates[:, :H])
-        sf = jax.nn.sigmoid(gates[:, H:2 * H] + 1.0)
-        tg = jnp.tanh(gates[:, 2 * H:3 * H])
-        so = jax.nn.sigmoid(gates[:, 3 * H:])
+        acts = xg_scr[:, pl.ds(i, 1), :][:, 0, :]
+        si = acts[:, :H]
+        sf = acts[:, H:2 * H]
+        tg = acts[:, 2 * H:3 * H]
+        so = acts[:, 3 * H:]
         tanh_c = jnp.tanh(c_t)
         dh_total = (jnp.where(v, dy_ref[:, pl.ds(i, 1), :][:, 0, :], 0.0)
                     + dh_scr[...])
