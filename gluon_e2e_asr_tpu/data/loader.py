@@ -4,8 +4,10 @@ Reference-side realization: Gluon ``DataLoader`` + bucketing sampler,
 with MXNet's C++ engine doing the packing [SURVEY.md §1 L0,
 INFERRED-high]. New-repo realization: a Python loader whose hot path —
 padding/packing waveforms and labels into static bucket-shaped arrays —
-is implemented in native C++ (``native/pack_batch.cpp``, loaded via
-ctypes) with a NumPy fallback [SURVEY.md §2.2].
+is implemented in native C++ (``native/asr_native.cpp``, loaded via
+ctypes) with a NumPy fallback [SURVEY.md §2.2]. For on-disk wav
+corpora the entire read+decode+pack runs in C++ worker threads
+(``load_pack_wav_batch``).
 
 Every batch is padded to the bucket's static (batch, samples, labels)
 shape so each bucket compiles exactly one XLA program
@@ -62,6 +64,15 @@ def _get_native_packer():
         return None
 
 
+def _get_native_wav_loader():
+    try:
+        from gluon_e2e_asr_tpu.utils.native import load_pack_wav_batch
+
+        return load_pack_wav_batch
+    except Exception:
+        return None
+
+
 class DataLoader:
     """Iterates (epoch) -> padded Batch objects in sampler order."""
 
@@ -78,6 +89,7 @@ class DataLoader:
         self.tokenizer = tokenizer
         self.sample_rate = sample_rate
         self._native = _get_native_packer() if use_native else None
+        self._native_wav = _get_native_wav_loader() if use_native else None
         # Synthetic audio is cheap; cache decoded waveforms for reuse across
         # epochs (they are small: seconds of float32).
         self._wave_cache: Dict[int, np.ndarray] = {}
@@ -95,11 +107,31 @@ class DataLoader:
 
     def make_batch(self, bucket: int, idxs: Sequence[int]) -> Batch:
         spec: BucketSpec = self.sampler.specs[bucket]
-        waves = [self._wave(i) for i in idxs]
-        if self._native is not None:
-            audio, audio_len = self._native(waves, spec.max_samples, spec.batch_size)
-        else:
-            audio, audio_len = _pack_python(waves, spec.max_samples, spec.batch_size)
+        audio = audio_len = None
+        # Real-corpus hot path: every utterance is an on-disk wav -> the
+        # native library reads, decodes, downmixes, and packs the whole
+        # bucket batch in C++ worker threads with zero per-sample Python
+        # (the OS page cache serves repeat epochs) [docs/ROADMAP.md #10].
+        if self._native_wav is not None and idxs and all(
+            self.utts[i].synth_seed < 0
+            and self.utts[i].audio_path.endswith(".wav")
+            for i in idxs
+        ):
+            try:
+                audio, audio_len = self._native_wav(
+                    [self.utts[i].audio_path for i in idxs],
+                    self.sample_rate, spec.max_samples, spec.batch_size,
+                )
+            except Exception:
+                audio = audio_len = None  # fall through to Python decode
+        if audio is None:
+            waves = [self._wave(i) for i in idxs]
+            if self._native is not None:
+                audio, audio_len = self._native(
+                    waves, spec.max_samples, spec.batch_size)
+            else:
+                audio, audio_len = _pack_python(
+                    waves, spec.max_samples, spec.batch_size)
         labels = np.zeros((spec.batch_size, spec.max_labels), np.int32)
         label_len = np.zeros((spec.batch_size,), np.int32)
         utt_ids = []

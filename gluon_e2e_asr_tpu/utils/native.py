@@ -30,7 +30,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-             "-o", _LIB_PATH, _SRC_PATH],
+             "-pthread", "-o", _LIB_PATH, _SRC_PATH],
             check=True,
             capture_output=True,
             timeout=120,
@@ -78,6 +78,30 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.edit_distance_batch.argtypes = [
             ctypes.POINTER(ctypes.c_int32)
         ] * 4 + [ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+        lib.decode_wav_f32.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
+        lib.decode_wav_f32.restype = ctypes.c_int32
+        lib.probe_wav.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.probe_wav.restype = ctypes.c_int32
+        lib.load_pack_wav_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.load_pack_wav_batch.restype = ctypes.c_int32
         _lib = lib
         return _lib
 
@@ -106,6 +130,60 @@ def pack_waves(
         out_audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
+    return out_audio, out_lens
+
+
+def decode_wav(path: str, expect_rate: int = 16000,
+               max_samples: int = 16000 * 60 * 10) -> np.ndarray:
+    """Decode a PCM16 / IEEE-float32 wav to mono float32 (native reader).
+
+    Raises on open/format/rate errors so callers can fall back to the
+    Python ``wave`` path.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    rate = ctypes.c_int32(0)
+    frames = ctypes.c_int64(0)
+    rc = lib.probe_wav(path.encode(), ctypes.byref(rate),
+                       ctypes.byref(frames))
+    if rc != 0:
+        raise ValueError(f"probe_wav({path!r}) failed: rc={rc}")
+    n = int(min(frames.value, max_samples))
+    out = np.empty((n,), np.float32)
+    got = lib.decode_wav_f32(
+        path.encode(), expect_rate,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+    )
+    if got < 0:
+        raise ValueError(f"decode_wav_f32({path!r}) failed: rc={got}")
+    return out[:got]
+
+
+def load_pack_wav_batch(
+    paths: Sequence[str], expect_rate: int, max_samples: int,
+    batch_size: int, nthreads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fused native read+decode+pack of wav files into a bucket batch.
+
+    Returns (audio [batch, max_samples] float32, lens [batch] int32).
+    Raises on any per-file decode error (caller falls back to Python).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = len(paths)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    out_audio = np.empty((batch_size, max_samples), np.float32)
+    out_lens = np.empty((batch_size,), np.int32)
+    rc = lib.load_pack_wav_batch(
+        arr, n, expect_rate, max_samples, batch_size,
+        out_audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nthreads,
+    )
+    if rc != 0:
+        raise ValueError(f"load_pack_wav_batch failed: rc={rc}")
     return out_audio, out_lens
 
 
