@@ -337,17 +337,43 @@ bilstm_pallas.defvjp(_bilstm_vjp_fwd, _bilstm_vjp_bwd)
 _V2_VMEM_LIMIT = 128 * 1024 * 1024
 
 
+def _perm_ifog(a, H):
+    """Reorder gate columns (i,f,g,o) -> (i,f,o,g) on the last axis.
+
+    The kernels below run the three sigmoid gates as ONE wide VPU op
+    over the contiguous [i|f|o] block; this permutation (an involution,
+    so it also maps the kernel's weight grads back) rearranges the
+    parameter layout of models/lstm.py accordingly.
+    """
+    return jnp.concatenate(
+        [a[..., :2 * H], a[..., 3 * H:4 * H], a[..., 2 * H:3 * H]], axis=-1)
+
+
+def _perm_ifog8(a, H):
+    """_perm_ifog applied per direction block of a [..., 8H] array."""
+    return jnp.concatenate(
+        [_perm_ifog(a[..., :4 * H], H), _perm_ifog(a[..., 4 * H:], H)],
+        axis=-1)
+
+
+def _forget_bias8(H, dtype=jnp.float32):
+    """+1.0 on the f segments of an (i,f,o,g)x2 [8H] bias (baked into the
+    bias so the kernel's sigmoid needs no separate add)."""
+    fb = jnp.zeros((8 * H,), dtype)
+    return fb.at[H:2 * H].set(1.0).at[5 * H:6 * H].set(1.0)
+
+
 def _cell_fwd_dir(xg, h, c, w_h, compute_dtype):
+    """Gate layout (i,f,o,g); forget bias pre-baked into xg's bias."""
     gates = xg + jax.lax.dot_general(
         h.astype(compute_dtype), w_h.astype(compute_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     H = h.shape[-1]
-    si = jax.nn.sigmoid(gates[:, :H])
-    sf = jax.nn.sigmoid(gates[:, H:2 * H] + 1.0)
-    tg = jnp.tanh(gates[:, 2 * H:3 * H])
-    so = jax.nn.sigmoid(gates[:, 3 * H:])
+    s = jax.nn.sigmoid(gates[:, :3 * H])  # i,f,o in one wide VPU op
+    tg = jnp.tanh(gates[:, 3 * H:])
+    si, sf, so = s[:, :H], s[:, H:2 * H], s[:, 2 * H:]
     c_new = sf * c + si * tg
     h_new = so * jnp.tanh(c_new)
     return h_new, c_new
@@ -387,10 +413,11 @@ def _v2_fwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref, wx_ref, bx_ref,
                                      h, c, whf_ref[...], cd)
         hf_scr[...] = jnp.where(vf, h_new, h)
         cf_scr[...] = jnp.where(vf, c_new, c)
-        ysf_ref[:, pl.ds(k, 1), :] = jnp.where(
-            vf, h_new, 0.0).astype(ysf_ref.dtype)[:, None, :]
-        csf_ref[:, pl.ds(k, 1), :] = jnp.where(
-            vf, c_new, 0.0).astype(csf_ref.dtype)[:, None, :]
+        # Raw (unmasked) stores; the valid mask is applied once
+        # chunk-wide after the loop — 2 wide VPU ops instead of 2 selects
+        # per step.
+        ysf_ref[:, pl.ds(k, 1), :] = h_new.astype(ysf_ref.dtype)[:, None, :]
+        csf_ref[:, pl.ds(k, 1), :] = c_new.astype(csf_ref.dtype)[:, None, :]
         # backward direction: reverse order within the (reverse-indexed)
         # chunk, so it sweeps global time T-1 -> 0
         i = tc - 1 - k
@@ -400,13 +427,17 @@ def _v2_fwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref, wx_ref, bx_ref,
                                      h, c, whb_ref[...], cd)
         hb_scr[...] = jnp.where(vb, h_new, h)
         cb_scr[...] = jnp.where(vb, c_new, c)
-        ysb_ref[:, pl.ds(i, 1), :] = jnp.where(
-            vb, h_new, 0.0).astype(ysb_ref.dtype)[:, None, :]
-        csb_ref[:, pl.ds(i, 1), :] = jnp.where(
-            vb, c_new, 0.0).astype(csb_ref.dtype)[:, None, :]
+        ysb_ref[:, pl.ds(i, 1), :] = h_new.astype(ysb_ref.dtype)[:, None, :]
+        csb_ref[:, pl.ds(i, 1), :] = c_new.astype(csb_ref.dtype)[:, None, :]
         return 0
 
     jax.lax.fori_loop(0, tc, body, 0)
+
+    # Chunk-wide masking of the streamed outputs (invalid steps -> 0).
+    ysf_ref[...] = ysf_ref[...] * vf_ref[...]
+    csf_ref[...] = csf_ref[...] * vf_ref[...]
+    ysb_ref[...] = ysb_ref[...] * vb_ref[...]
+    csb_ref[...] = csb_ref[...] * vb_ref[...]
 
 
 def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
@@ -416,7 +447,8 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
                    dxf_ref, dxb_ref, dwx_ref, dbx_ref, dwhf_ref, dwhb_ref,
                    dhf_scr, dcf_scr, dhb_scr, dcb_scr,
                    xgf_scr, xgb_scr, dgf_scr, dgb_scr,
-                   dwx_acc, dbx_acc, dwhf_acc, dwhb_acc, *,
+                   dwx_acc, dbx_acc, dwhf_acc, dwhb_acc,
+                   thf_scr, thb_scr, *,
                    tc: int, H: int, D: int, compute_dtype):
     """Reverse sweep. Grid step c: forward direction processes time
     blocks in reverse (refs indexed n-1-c outside), backward direction in
@@ -442,7 +474,13 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
     # pass. The in-loop critical path then carries a single matmul
     # (dh_rec) instead of two. xg*_scr is transformed in place into the
     # activation layout [si | sf | tg | so].
-    def recompute_acts(xg_scr, x_ref, wx_cols, bx_cols, hp_ref, wh_ref):
+    # Gate layout is (i,f,o,g) with the forget bias baked into bx (see
+    # _perm_ifog): the three sigmoids run as ONE wide VPU op. Activations
+    # are masked chunk-wide by the valid stream, which makes every dgates
+    # term vanish at invalid steps (each term carries a factor of some
+    # activation), so the per-step dgates select disappears.
+    def recompute_acts(xg_scr, x_ref, wx_cols, bx_cols, hp_ref, wh_ref,
+                       v_ref):
         gates = jax.lax.dot_general(
             x_ref[...].astype(cd), wx_cols.astype(cd),
             dimension_numbers=(((2,), (0,)), ((), ())),
@@ -454,44 +492,43 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
         )
         xg_scr[...] = jnp.concatenate(
             [
-                jax.nn.sigmoid(gates[..., :H]),
-                jax.nn.sigmoid(gates[..., H:2 * H] + 1.0),
-                jnp.tanh(gates[..., 2 * H:3 * H]),
-                jax.nn.sigmoid(gates[..., 3 * H:]),
+                jax.nn.sigmoid(gates[..., :3 * H]),
+                jnp.tanh(gates[..., 3 * H:]),
             ],
             axis=-1,
-        )
+        ) * v_ref[...]
 
     recompute_acts(xgf_scr, xf_ref, wx_ref[:, :4 * H], bx_ref[:, :4 * H],
-                   hpf_ref, whf_ref)
+                   hpf_ref, whf_ref, vf_ref)
     recompute_acts(xgb_scr, xb_ref, wx_ref[:, 4 * H:], bx_ref[:, 4 * H:],
-                   hpb_ref, whb_ref)
+                   hpb_ref, whb_ref, vb_ref)
+    # tanh(c_t) hoisted chunk-wide (off the sequential critical path).
+    thf_scr[...] = jnp.tanh(cf_ref[...])
+    thb_scr[...] = jnp.tanh(cb_ref[...])
 
-    def dir_step(i, xg_scr, hp_ref, cp_ref, c_ref, dy_ref, v_ref, wh_ref,
-                 dh_scr, dc_scr, dg_scr):
+    def dir_step(i, xg_scr, cp_ref, dy_ref, v_ref, wh_ref,
+                 dh_scr, dc_scr, dg_scr, th_scr):
         v = v_ref[:, pl.ds(i, 1), 0] > 0.5
         c_prev = cp_ref[:, pl.ds(i, 1), :][:, 0, :]
-        c_t = c_ref[:, pl.ds(i, 1), :][:, 0, :]
         acts = xg_scr[:, pl.ds(i, 1), :][:, 0, :]
         si = acts[:, :H]
         sf = acts[:, H:2 * H]
-        tg = acts[:, 2 * H:3 * H]
-        so = acts[:, 3 * H:]
-        tanh_c = jnp.tanh(c_t)
-        dh_total = (jnp.where(v, dy_ref[:, pl.ds(i, 1), :][:, 0, :], 0.0)
-                    + dh_scr[...])
+        so = acts[:, 2 * H:3 * H]
+        tg = acts[:, 3 * H:]
+        tanh_c = th_scr[:, pl.ds(i, 1), :][:, 0, :]
+        # dy is pre-masked outside the kernel (dys *= valid).
+        dh_total = dy_ref[:, pl.ds(i, 1), :][:, 0, :] + dh_scr[...]
         do = dh_total * tanh_c
         dc = dh_total * so * (1.0 - tanh_c * tanh_c) + dc_scr[...]
         dgates = jnp.concatenate(
             [
                 dc * tg * si * (1.0 - si),
                 dc * c_prev * sf * (1.0 - sf),
-                dc * si * (1.0 - tg * tg),
                 do * so * (1.0 - so),
+                dc * si * (1.0 - tg * tg),
             ],
             axis=-1,
-        )
-        dgates = jnp.where(v, dgates, 0.0)
+        )  # (i,f,o,g); zero at invalid steps via the masked activations
         dh_rec = jax.lax.dot_general(
             dgates.astype(cd), wh_ref[...].astype(cd),
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -503,11 +540,11 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
 
     def body(k, _):
         # forward dir: within-chunk reverse (global reverse sweep)
-        dir_step(tc - 1 - k, xgf_scr, hpf_ref, cpf_ref, cf_ref, dyf_ref,
-                 vf_ref, whf_ref, dhf_scr, dcf_scr, dgf_scr)
+        dir_step(tc - 1 - k, xgf_scr, cpf_ref, dyf_ref,
+                 vf_ref, whf_ref, dhf_scr, dcf_scr, dgf_scr, thf_scr)
         # backward dir: within-chunk natural order (its reverse sweep)
-        dir_step(k, xgb_scr, hpb_ref, cpb_ref, cb_ref, dyb_ref,
-                 vb_ref, whb_ref, dhb_scr, dcb_scr, dgb_scr)
+        dir_step(k, xgb_scr, cpb_ref, dyb_ref,
+                 vb_ref, whb_ref, dhb_scr, dcb_scr, dgb_scr, thb_scr)
         return 0
 
     jax.lax.fori_loop(0, tc, body, 0)
@@ -547,6 +584,26 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
         dwhb_ref[...] = dwhb_acc[...]
 
 
+def _v2_auto_chunk(tc: int, B: int, H: int, D: int) -> int:
+    """Largest multiple-of-8 chunk <= tc whose *backward* kernel (the
+    bigger of the two) fits the VMEM budget.
+
+    f32 word counts, double-buffered streams included:
+      per-timestep: 2 dirs x [2x(x:D + v:1 + hp/cp/c/dy:4H) in
+                    + 2x(dx:D) out + xg/dg:8H + th:H scratch]
+                  = B*(8D + 34H + 4)
+      constant: weights + weight-grad outputs + accumulators
+                  = 3*(8DH + 8H^2 + 8H) + dh/dc scratch 4BH
+    Must be applied identically by _v2_fwd_impl and _v2_vjp_bwd so the
+    residual time padding agrees between the two pallas_calls.
+    """
+    budget_words = int(_V2_VMEM_LIMIT * 0.85) // 4
+    const_words = 3 * (8 * D * H + 8 * H * H + 8 * H) + 4 * B * H
+    per_t_words = B * (8 * D + 34 * H + 4)
+    tc_max = max((budget_words - const_words) // max(per_t_words, 1), 8)
+    return max(8, min(tc, (tc_max // 8) * 8))
+
+
 def _v2_pad_time(x, tc):
     T = x.shape[1]
     pad = (-T) % tc
@@ -574,6 +631,7 @@ def _v2_fwd_impl(x, lens, w_x, b_x, w_hf, w_hb, compute_dtype, tc):
     H = w_hf.shape[0]
     cd = jnp.dtype(compute_dtype)
     interpret = jax.default_backend() != "tpu"
+    tc = _v2_auto_chunk(tc, B, H, D)
     xp, TP = _v2_pad_time(x, tc)
     valid = (jnp.arange(TP)[None, :] < lens[:, None]).astype(
         jnp.float32)[..., None]  # [B,TP,1] (Mosaic block-tiling rules)
@@ -594,10 +652,13 @@ def _v2_fwd_impl(x, lens, w_x, b_x, w_hf, w_hb, compute_dtype, tc):
     outb = lambda: pl.BlockSpec((B, tc, H), lambda c: (0, n - 1 - c, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
 
-    wx_c = w_x.astype(cd)
-    bx_c = b_x.reshape(1, -1).astype(jnp.float32)
-    whf_c = w_hf.astype(cd)
-    whb_c = w_hb.astype(cd)
+    # Kernel-internal gate order is (i,f,o,g) with the forget bias baked
+    # into the bias vector (see _perm_ifog).
+    wx_c = _perm_ifog8(w_x, H).astype(cd)
+    bx_c = (_perm_ifog8(b_x, H) + _forget_bias8(H)).reshape(
+        1, -1).astype(jnp.float32)
+    whf_c = _perm_ifog(w_hf, H).astype(cd)
+    whb_c = _perm_ifog(w_hb, H).astype(cd)
     # Residual/stream dtype stays f32: Mosaic miscompiles bf16 stores of
     # lane-unaligned (H=320) middle slices, and f32 residuals keep the
     # gate recompute in the backward exact.
@@ -638,6 +699,7 @@ def _v2_vjp_bwd(compute_dtype, tc, res, g):
     H = w_hf.shape[0]
     cd = jnp.dtype(compute_dtype)
     interpret = jax.default_backend() != "tpu"
+    tc = _v2_auto_chunk(tc, B, H, D)  # same clamp as _v2_fwd_impl
     n = TP // tc
 
     zrow = jnp.zeros((B, 1, H), ys_f.dtype)
@@ -647,6 +709,9 @@ def _v2_vjp_bwd(compute_dtype, tc, res, g):
     hp_b = jnp.concatenate([ys_b[:, 1:], zrow], axis=1)
     cp_b = jnp.concatenate([cs_b[:, 1:], zrow], axis=1)
     gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, TP - T), (0, 0)))
+    # Pre-mask the cotangent (XLA fuses this into the stream producer);
+    # the kernel then skips the per-step dy select.
+    gp = gp * valid
     dy_f = gp[..., :H]
     dy_b = gp[..., H:]
 
@@ -661,10 +726,11 @@ def _v2_vjp_bwd(compute_dtype, tc, res, g):
     const = lambda arr: pl.BlockSpec(  # noqa: E731
         arr.shape, lambda c: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
-    wx_c = w_x.astype(cd)
-    bx_c = b_x.reshape(1, -1).astype(jnp.float32)
-    whf_c = w_hf.astype(cd)
-    whb_c = w_hb.astype(cd)
+    wx_c = _perm_ifog8(w_x, H).astype(cd)
+    bx_c = (_perm_ifog8(b_x, H) + _forget_bias8(H)).reshape(
+        1, -1).astype(jnp.float32)
+    whf_c = _perm_ifog(w_hf, H).astype(cd)
+    whb_c = _perm_ifog(w_hb, H).astype(cd)
 
     outs = pl.pallas_call(
         functools.partial(_v2_bwd_kernel, tc=tc, H=H, D=D, compute_dtype=cd),
@@ -700,6 +766,8 @@ def _v2_vjp_bwd(compute_dtype, tc, res, g):
             pltpu.VMEM((1, 8 * H), jnp.float32),
             pltpu.VMEM((H, 4 * H), jnp.float32),
             pltpu.VMEM((H, 4 * H), jnp.float32),
+            pltpu.VMEM((B, tc, H), jnp.float32),  # tanh(c_t) fwd dir
+            pltpu.VMEM((B, tc, H), jnp.float32),  # tanh(c_t) bwd dir
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_V2_VMEM_LIMIT),
         interpret=interpret,
@@ -711,9 +779,15 @@ def _v2_vjp_bwd(compute_dtype, tc, res, g):
     )
     dx_f, dx_b, dwx, dbx, dwhf, dwhb = outs
     dx = (dx_f + dx_b)[:, :T]
-    return (dx.astype(jnp.float32), None, dwx.astype(w_x.dtype),
-            dbx.reshape(-1).astype(b_x.dtype), dwhf.astype(w_hf.dtype),
-            dwhb.astype(w_hb.dtype))
+    # The kernel accumulated weight grads in (i,f,o,g) column order;
+    # _perm_ifog is an involution, so applying it again restores the
+    # caller's (i,f,g,o) layout. (The baked +1 forget bias is a constant
+    # and does not touch dbx.)
+    return (dx.astype(jnp.float32), None,
+            _perm_ifog8(dwx, H).astype(w_x.dtype),
+            _perm_ifog8(dbx.reshape(-1), H).astype(b_x.dtype),
+            _perm_ifog(dwhf, H).astype(w_hf.dtype),
+            _perm_ifog(dwhb, H).astype(w_hb.dtype))
 
 
 bilstm_fused.defvjp(_v2_vjp_fwd, _v2_vjp_bwd)
