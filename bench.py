@@ -29,15 +29,23 @@ from gluon_e2e_asr_tpu.utils.platform import enable_compilation_cache
 enable_compilation_cache()
 
 # Measured on this machine (see BASELINE.md): CPU-JAX utt/sec on the same
-# batch shapes and model config as the TPU benchmark below.
-CPU_BASELINE_UTT_PER_SEC = 0.433  # measured 2026-08-16, python bench.py --cpu-baseline
+# batch shapes and model config as the TPU benchmark below, per batch
+# size (python bench.py --cpu-baseline --batch N).
+CPU_BASELINE_UTT_PER_SEC = {
+    16: 0.433,  # measured 2026-08-16
+    64: 0.302,  # measured 2026-08-17
+}
 
 # LibriSpeech-100h-like shapes: ~12.8 s utterances, char targets ~7/s.
-BATCH = 16
+# Batch 64 is the flagship throughput point (v5e-class chips train ASR
+# at large per-chip batch; see BASELINE.md batch rows).
+BATCH = 64
 SECONDS = 12.8
 MAX_LABELS = 96
 WARMUP_STEPS = 3
 MEASURE_STEPS = 10
+CPU_WARMUP_STEPS = 1
+CPU_MEASURE_STEPS = 3
 
 
 def build(dp: bool, lstm_impl: str = "scan", batch_size: int = BATCH,
@@ -75,21 +83,22 @@ def _fetch(state) -> float:
     return float(np.asarray(leaf).ravel()[0])
 
 
-def measure(state, step, batch) -> float:
+def measure(state, step, batch, warmup=WARMUP_STEPS,
+            steps=MEASURE_STEPS) -> float:
     import jax.numpy as jnp
 
     bsz = batch["audio"].shape[0]
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
-    for _ in range(WARMUP_STEPS):
+    for _ in range(warmup):
         state, metrics = step(state, dev_batch)
     _fetch(state)
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
+    for _ in range(steps):
         state, metrics = step(state, dev_batch)
     _fetch(state)
     dt = time.perf_counter() - t0
     assert np.isfinite(float(metrics["loss"]))
-    return bsz * MEASURE_STEPS / dt
+    return bsz * steps / dt
 
 
 def main():
@@ -106,9 +115,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        state, step, batch = build(dp=False)
-        ups = measure(state, step, batch)
-        print(f"CPU-JAX baseline: {ups:.3f} utt/s", file=sys.stderr)
+        state, step, batch = build(dp=False, batch_size=args.batch)
+        ups = measure(state, step, batch, warmup=CPU_WARMUP_STEPS,
+                      steps=CPU_MEASURE_STEPS)
+        print(f"CPU-JAX baseline (batch {args.batch}): {ups:.3f} utt/s",
+              file=sys.stderr)
         print(json.dumps({
             "metric": "train_throughput_cpu_baseline",
             "value": round(ups, 3),
@@ -137,7 +148,9 @@ def main():
         "metric": "train_throughput_utt_per_sec_per_chip",
         "value": round(per_chip, 3),
         "unit": "utt/s/chip",
-        "vs_baseline": round(per_chip / CPU_BASELINE_UTT_PER_SEC, 2),
+        "vs_baseline": round(
+            per_chip / CPU_BASELINE_UTT_PER_SEC.get(
+                args.batch, CPU_BASELINE_UTT_PER_SEC[16]), 2),
     }))
 
 

@@ -399,34 +399,38 @@ def _v2_fwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref, wx_ref, bx_ref,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bx_ref[:, :4 * H][None]
-    xgb_scr[...] = jax.lax.dot_general(
+    xgb_scr[...] = (jax.lax.dot_general(
         xb_ref[...].astype(cd), wx_ref[:, 4 * H:].astype(cd),
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bx_ref[:, 4 * H:][None]
+    ) + bx_ref[:, 4 * H:][None]) * vb_ref[...]
 
+    # No per-step valid handling inside the loop:
+    #  * forward dir: invalidity is a time *suffix*, so a stale state is
+    #    never consumed by a valid step; all streamed outputs are masked
+    #    chunk-wide below.
+    #  * backward dir: its sweep hits the invalid region *first*, but
+    #    with xgb zeroed chunk-wide (above) a (0,0) state maps to (0,0)
+    #    — gates = 0, c' = sig(0)*0 + sig(0)*tanh(0) = 0,
+    #    h' = sig(0)*tanh(0) = 0 — so the state is still exactly the
+    #    initial zeros when the first valid step arrives.
     def body(k, _):
         # forward direction: natural time order within the chunk
-        vf = vf_ref[:, pl.ds(k, 1), 0] > 0.5  # [B,1]
-        h, c = hf_scr[...], cf_scr[...]
         h_new, c_new = _cell_fwd_dir(xgf_scr[:, pl.ds(k, 1), :][:, 0, :],
-                                     h, c, whf_ref[...], cd)
-        hf_scr[...] = jnp.where(vf, h_new, h)
-        cf_scr[...] = jnp.where(vf, c_new, c)
-        # Raw (unmasked) stores; the valid mask is applied once
-        # chunk-wide after the loop — 2 wide VPU ops instead of 2 selects
-        # per step.
+                                     hf_scr[...], cf_scr[...],
+                                     whf_ref[...], cd)
+        hf_scr[...] = h_new
+        cf_scr[...] = c_new
         ysf_ref[:, pl.ds(k, 1), :] = h_new.astype(ysf_ref.dtype)[:, None, :]
         csf_ref[:, pl.ds(k, 1), :] = c_new.astype(csf_ref.dtype)[:, None, :]
         # backward direction: reverse order within the (reverse-indexed)
         # chunk, so it sweeps global time T-1 -> 0
         i = tc - 1 - k
-        vb = vb_ref[:, pl.ds(i, 1), 0] > 0.5
-        h, c = hb_scr[...], cb_scr[...]
         h_new, c_new = _cell_fwd_dir(xgb_scr[:, pl.ds(i, 1), :][:, 0, :],
-                                     h, c, whb_ref[...], cd)
-        hb_scr[...] = jnp.where(vb, h_new, h)
-        cb_scr[...] = jnp.where(vb, c_new, c)
+                                     hb_scr[...], cb_scr[...],
+                                     whb_ref[...], cd)
+        hb_scr[...] = h_new
+        cb_scr[...] = c_new
         ysb_ref[:, pl.ds(i, 1), :] = h_new.astype(ysb_ref.dtype)[:, None, :]
         csb_ref[:, pl.ds(i, 1), :] = c_new.astype(csb_ref.dtype)[:, None, :]
         return 0
@@ -441,14 +445,15 @@ def _v2_fwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref, wx_ref, bx_ref,
 
 
 def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
-                   hpf_ref, cpf_ref, cf_ref, dyf_ref,
-                   hpb_ref, cpb_ref, cb_ref, dyb_ref,
+                   ysf_ref, csf_ref, dyf_ref, bhf_ref, bcf_ref,
+                   ysb_ref, csb_ref, dyb_ref, bhb_ref, bcb_ref,
                    wx_ref, bx_ref, whf_ref, whb_ref,
                    dxf_ref, dxb_ref, dwx_ref, dbx_ref, dwhf_ref, dwhb_ref,
                    dhf_scr, dcf_scr, dhb_scr, dcb_scr,
                    xgf_scr, xgb_scr, dgf_scr, dgb_scr,
                    dwx_acc, dbx_acc, dwhf_acc, dwhb_acc,
-                   thf_scr, thb_scr, *,
+                   thf_scr, thb_scr,
+                   hpf_scr, cpf_scr, hpb_scr, cpb_scr, *,
                    tc: int, H: int, D: int, compute_dtype):
     """Reverse sweep. Grid step c: forward direction processes time
     blocks in reverse (refs indexed n-1-c outside), backward direction in
@@ -498,17 +503,31 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
             axis=-1,
         ) * v_ref[...]
 
-    recompute_acts(xgf_scr, xf_ref, wx_ref[:, :4 * H], bx_ref[:, :4 * H],
-                   hpf_ref, whf_ref, vf_ref)
-    recompute_acts(xgb_scr, xb_ref, wx_ref[:, 4 * H:], bx_ref[:, 4 * H:],
-                   hpb_ref, whb_ref, vb_ref)
-    # tanh(c_t) hoisted chunk-wide (off the sequential critical path).
-    thf_scr[...] = jnp.tanh(cf_ref[...])
-    thb_scr[...] = jnp.tanh(cb_ref[...])
+    # h_prev / c_prev are rebuilt in VMEM from the ys/cs streams plus a
+    # tiny per-chunk boundary operand ([B,1,H]: the neighbouring chunk's
+    # edge state) instead of streaming XLA-materialized shifted copies —
+    # saves two full [B,T,H] HBM streams per direction plus their
+    # production (write+read) in the XLA prologue.
+    hpf_scr[:, :1, :] = bhf_ref[0][:, None, :]
+    hpf_scr[:, 1:, :] = ysf_ref[:, :tc - 1, :]
+    cpf_scr[:, :1, :] = bcf_ref[0][:, None, :]
+    cpf_scr[:, 1:, :] = csf_ref[:, :tc - 1, :]
+    # backward dir: "previous" state lives at t+1
+    hpb_scr[:, tc - 1:, :] = bhb_ref[0][:, None, :]
+    hpb_scr[:, :tc - 1, :] = ysb_ref[:, 1:, :]
+    cpb_scr[:, tc - 1:, :] = bcb_ref[0][:, None, :]
+    cpb_scr[:, :tc - 1, :] = csb_ref[:, 1:, :]
 
-    def dir_step(i, xg_scr, cp_ref, dy_ref, v_ref, wh_ref,
+    recompute_acts(xgf_scr, xf_ref, wx_ref[:, :4 * H], bx_ref[:, :4 * H],
+                   hpf_scr, whf_ref, vf_ref)
+    recompute_acts(xgb_scr, xb_ref, wx_ref[:, 4 * H:], bx_ref[:, 4 * H:],
+                   hpb_scr, whb_ref, vb_ref)
+    # tanh(c_t) hoisted chunk-wide (off the sequential critical path).
+    thf_scr[...] = jnp.tanh(csf_ref[...])
+    thb_scr[...] = jnp.tanh(csb_ref[...])
+
+    def dir_step(i, xg_scr, cp_ref, dy_ref, wh_ref,
                  dh_scr, dc_scr, dg_scr, th_scr):
-        v = v_ref[:, pl.ds(i, 1), 0] > 0.5
         c_prev = cp_ref[:, pl.ds(i, 1), :][:, 0, :]
         acts = xg_scr[:, pl.ds(i, 1), :][:, 0, :]
         si = acts[:, :H]
@@ -534,17 +553,22 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dh_scr[...] = jnp.where(v, dh_rec, dh_total)
-        dc_scr[...] = jnp.where(v, dc * sf, dc_scr[...])
+        # No valid select on the carries: at invalid steps the masked
+        # activations zero dgates (so dh_rec = 0) and sf (so dc*sf = 0),
+        # and invalid steps only ever precede valid ones at the *start*
+        # of each direction's reverse sweep, where the carries are zero
+        # anyway — a valid step never consumes a clobbered carry.
+        dh_scr[...] = dh_rec
+        dc_scr[...] = dc * sf
         dg_scr[:, pl.ds(i, 1), :] = dgates[:, None, :]
 
     def body(k, _):
         # forward dir: within-chunk reverse (global reverse sweep)
-        dir_step(tc - 1 - k, xgf_scr, cpf_ref, dyf_ref,
-                 vf_ref, whf_ref, dhf_scr, dcf_scr, dgf_scr, thf_scr)
+        dir_step(tc - 1 - k, xgf_scr, cpf_scr, dyf_ref,
+                 whf_ref, dhf_scr, dcf_scr, dgf_scr, thf_scr)
         # backward dir: within-chunk natural order (its reverse sweep)
-        dir_step(k, xgb_scr, cpb_ref, dyb_ref,
-                 vb_ref, whb_ref, dhb_scr, dcb_scr, dgb_scr, thb_scr)
+        dir_step(k, xgb_scr, cpb_scr, dyb_ref,
+                 whb_ref, dhb_scr, dcb_scr, dgb_scr, thb_scr)
         return 0
 
     jax.lax.fori_loop(0, tc, body, 0)
@@ -562,8 +586,8 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
     dwx_acc[:, 4 * H:] += tT(xb2, dgb2)
     dbx_acc[:, :4 * H] += jnp.sum(dgf2, axis=0)[None]
     dbx_acc[:, 4 * H:] += jnp.sum(dgb2, axis=0)[None]
-    dwhf_acc[...] += tT(hpf_ref[...].astype(cd).reshape(rows, H), dgf2)
-    dwhb_acc[...] += tT(hpb_ref[...].astype(cd).reshape(rows, H), dgb2)
+    dwhf_acc[...] += tT(hpf_scr[...].astype(cd).reshape(rows, H), dgf2)
+    dwhb_acc[...] += tT(hpb_scr[...].astype(cd).reshape(rows, H), dgb2)
 
     dxf_ref[...] = jax.lax.dot_general(
         dgf_scr[...].astype(cd), wx_ref[:, :4 * H].astype(cd),
@@ -589,8 +613,8 @@ def _v2_auto_chunk(tc: int, B: int, H: int, D: int) -> int:
     bigger of the two) fits the VMEM budget.
 
     f32 word counts, double-buffered streams included:
-      per-timestep: 2 dirs x [2x(x:D + v:1 + hp/cp/c/dy:4H) in
-                    + 2x(dx:D) out + xg/dg:8H + th:H scratch]
+      per-timestep: 2 dirs x [2x(x:D + v:1 + ys/cs/dy:3H) in
+                    + 2x(dx:D) out + xg/dg:8H + th/hp/cp:3H scratch]
                   = B*(8D + 34H + 4)
       constant: weights + weight-grad outputs + accumulators
                   = 3*(8DH + 8H^2 + 8H) + dh/dc scratch 4BH
@@ -702,12 +726,18 @@ def _v2_vjp_bwd(compute_dtype, tc, res, g):
     tc = _v2_auto_chunk(tc, B, H, D)  # same clamp as _v2_fwd_impl
     n = TP // tc
 
+    # Chunk-boundary states only ([B,n,H] — tiny): the kernel rebuilds
+    # the full shifted h_prev/c_prev blocks in VMEM from the ys/cs
+    # streams, so no full-size shifted copies are materialized in HBM.
     zrow = jnp.zeros((B, 1, H), ys_f.dtype)
-    hp_f = jnp.concatenate([zrow, ys_f[:, :-1]], axis=1)
-    cp_f = jnp.concatenate([zrow, cs_f[:, :-1]], axis=1)
+    # [n,B,H] layout: Mosaic wants the last two block dims full-size, so
+    # the chunk axis leads and each grid step streams one (1,B,H) row.
+    nbh = lambda a: jnp.swapaxes(a, 0, 1)  # noqa: E731
+    bh_f = nbh(jnp.concatenate([zrow, ys_f[:, tc - 1::tc][:, :n - 1]], axis=1))
+    bc_f = nbh(jnp.concatenate([zrow, cs_f[:, tc - 1::tc][:, :n - 1]], axis=1))
     # backward dir processes time TP-1 -> 0; its "previous" state is t+1
-    hp_b = jnp.concatenate([ys_b[:, 1:], zrow], axis=1)
-    cp_b = jnp.concatenate([cs_b[:, 1:], zrow], axis=1)
+    bh_b = nbh(jnp.concatenate([ys_b[:, tc::tc], zrow], axis=1))
+    bc_b = nbh(jnp.concatenate([cs_b[:, tc::tc], zrow], axis=1))
     gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, TP - T), (0, 0)))
     # Pre-mask the cotangent (XLA fuses this into the stream producer);
     # the kernel then skips the per-step dy select.
@@ -725,6 +755,12 @@ def _v2_vjp_bwd(compute_dtype, tc, res, g):
                                  memory_space=pltpu.VMEM)
     const = lambda arr: pl.BlockSpec(  # noqa: E731
         arr.shape, lambda c: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+    # Boundary operands: one (1,B,H) row of the [n,B,H] boundary arrays
+    # per grid step, following each direction's chunk order.
+    fwdb = lambda: pl.BlockSpec((1, B, H), lambda c: (n - 1 - c, 0, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    natb = lambda: pl.BlockSpec((1, B, H), lambda c: (c, 0, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
 
     wx_c = _perm_ifog8(w_x, H).astype(cd)
     bx_c = (_perm_ifog8(b_x, H) + _forget_bias8(H)).reshape(
@@ -737,8 +773,8 @@ def _v2_vjp_bwd(compute_dtype, tc, res, g):
         grid=(n,),
         in_specs=[
             fwd3d(D), nat3d(D), fwd2d(), nat2d(),
-            fwd3d(H), fwd3d(H), fwd3d(H), fwd3d(H),
-            nat3d(H), nat3d(H), nat3d(H), nat3d(H),
+            fwd3d(H), fwd3d(H), fwd3d(H), fwdb(), fwdb(),
+            nat3d(H), nat3d(H), nat3d(H), natb(), natb(),
             const(wx_c), const(bx_c), const(whf_c), const(whb_c),
         ],
         out_specs=[
@@ -768,13 +804,17 @@ def _v2_vjp_bwd(compute_dtype, tc, res, g):
             pltpu.VMEM((H, 4 * H), jnp.float32),
             pltpu.VMEM((B, tc, H), jnp.float32),  # tanh(c_t) fwd dir
             pltpu.VMEM((B, tc, H), jnp.float32),  # tanh(c_t) bwd dir
+            pltpu.VMEM((B, tc, H), jnp.float32),  # h_prev fwd dir
+            pltpu.VMEM((B, tc, H), jnp.float32),  # c_prev fwd dir
+            pltpu.VMEM((B, tc, H), jnp.float32),  # h_prev bwd dir
+            pltpu.VMEM((B, tc, H), jnp.float32),  # c_prev bwd dir
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_V2_VMEM_LIMIT),
         interpret=interpret,
     )(
         xp.astype(cd), xp.astype(cd), valid, valid,
-        hp_f, cp_f, cs_f, dy_f,
-        hp_b, cp_b, cs_b, dy_b,
+        ys_f, cs_f, dy_f, bh_f, bc_f,
+        ys_b, cs_b, dy_b, bh_b, bc_b,
         wx_c, bx_c, whf_c, whb_c,
     )
     dx_f, dx_b, dwx, dbx, dwhf, dwhb = outs
