@@ -4,7 +4,7 @@ Reference-side realization: Gluon ``DataLoader`` + bucketing sampler,
 with MXNet's C++ engine doing the packing [SURVEY.md §1 L0,
 INFERRED-high]. New-repo realization: a Python loader whose hot path —
 padding/packing waveforms and labels into static bucket-shaped arrays —
-is implemented in native C++ (``native/asr_native.cpp``, loaded via
+is implemented in native C++ (``gluon_e2e_asr_tpu/native/asr_native.cpp``, loaded via
 ctypes) with a NumPy fallback [SURVEY.md §2.2]. For on-disk wav
 corpora the entire read+decode+pack runs in C++ worker threads
 (``load_pack_wav_batch``).

@@ -64,6 +64,21 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _perm_ifog(a, H):
+    """Reorder gate columns (i,f,g,o) -> (i,f,o,g) on the last axis.
+
+    Mirrors pallas_lstm._perm_ifog: kernel-internal gate order groups the
+    three sigmoid gates contiguously so they evaluate as one wide VPU
+    op. An involution, so it also restores the caller layout on grads."""
+    return jnp.concatenate(
+        [a[..., :2 * H], a[..., 3 * H:4 * H], a[..., 2 * H:3 * H]], axis=-1)
+
+
+def _forget_bias4(H):
+    """+1.0 on the f segment of an (i,f,o,g) [4H] bias."""
+    return jnp.zeros((4 * H,), jnp.float32).at[H:2 * H].set(1.0)
+
+
 def build_loc_band_cmajor(loc_filter: jnp.ndarray, T: int) -> jnp.ndarray:
     """Banded location-conv matrix in channel-major flat layout [T, C*T]:
     band[s, c*T + t] = filter[s - t + (w-1)//2, 0, c]. Same math as
@@ -203,13 +218,13 @@ def _fwd_kernel(
             + jnp.dot(h_scr[...].astype(cd), wh_ref[...].astype(cd),
                       preferred_element_type=jnp.float32)
         )  # [Bb,4H] f32
-        gi = gates[:, :H]
-        gf = gates[:, H:2 * H]
-        gg = gates[:, 2 * H:3 * H]
-        go = gates[:, 3 * H:]
-        c_new = (jax.nn.sigmoid(gf + 1.0) * c_scr[...]
-                 + jax.nn.sigmoid(gi) * jnp.tanh(gg))
-        h_new = jax.nn.sigmoid(go) * jnp.tanh(c_new)  # [Bb,H] f32
+        # Gate layout (i,f,o,g), forget bias baked into bx (see
+        # _perm_ifog in pallas_lstm.py): the three sigmoids run as ONE
+        # wide VPU op.
+        s3 = jax.nn.sigmoid(gates[:, :3 * H])
+        gg = jnp.tanh(gates[:, 3 * H:])
+        c_new = s3[:, H:2 * H] * c_scr[...] + s3[:, :H] * gg
+        h_new = s3[:, 2 * H:3 * H] * jnp.tanh(c_new)  # [Bb,H] f32
         h_scr[...] = h_new
         c_scr[...] = c_new
 
@@ -361,9 +376,10 @@ def las_decoder_fwd(
         arr.shape, lambda b, l: (0,) * arr.ndim, memory_space=pltpu.VMEM)
     weights = [
         embed.astype(cd),
-        w_x.astype(cd),
-        b_x.reshape(1, -1).astype(jnp.float32),
-        w_h.astype(cd),
+        _perm_ifog(w_x, H).astype(cd),
+        (_perm_ifog(b_x, H) + _forget_bias4(H)).reshape(
+            1, -1).astype(jnp.float32),
+        _perm_ifog(w_h, H).astype(cd),
         att_q.astype(cd),
         att_b.reshape(1, -1).astype(jnp.float32),
         att_v.reshape(1, -1).astype(jnp.float32),
@@ -590,10 +606,10 @@ def _bwd_kernel(
             + jnp.dot(h_p.astype(cd), wh_ref[...].astype(cd),
                       preferred_element_type=jnp.float32)
         )
-        gi = jax.nn.sigmoid(gates[:, :H])
-        gf = jax.nn.sigmoid(gates[:, H:2 * H] + 1.0)
-        gc = jnp.tanh(gates[:, 2 * H:3 * H])
-        go = jax.nn.sigmoid(gates[:, 3 * H:])
+        # (i,f,o,g) layout, forget bias baked into bx; one wide sigmoid.
+        s3 = jax.nn.sigmoid(gates[:, :3 * H])
+        gi, gf, go = s3[:, :H], s3[:, H:2 * H], s3[:, 2 * H:]
+        gc = jnp.tanh(gates[:, 3 * H:])
         tanh_c = jnp.tanh(c_t)
         do = dh_total * tanh_c
         dc_total = dh_total * go * (1.0 - tanh_c * tanh_c) + dc_scr[...]
@@ -601,11 +617,11 @@ def _bwd_kernel(
             [
                 dc_total * gc * gi * (1.0 - gi),
                 dc_total * c_p * gf * (1.0 - gf),
-                dc_total * gi * (1.0 - gc * gc),
                 do * go * (1.0 - go),
+                dc_total * gi * (1.0 - gc * gc),
             ],
             axis=-1,
-        )  # [Bb,4H]
+        )  # [Bb,4H] in (i,f,o,g)
         dgates_ref[:, pl.ds(i, 1), :] = dgates[:, None, :]
         dh_scr[...] = jax.lax.dot_general(
             dgates.astype(cd), wh_ref[...].astype(cd),
@@ -731,9 +747,10 @@ def las_decoder_bwd(
     locp = (loc_proj if is_loc else jnp.zeros((1, A))).astype(jnp.float32)
     weights = [
         embed.astype(cd),
-        w_x.astype(cd),
-        b_x.reshape(1, -1).astype(jnp.float32),
-        w_h.astype(cd),
+        _perm_ifog(w_x, H).astype(cd),
+        (_perm_ifog(b_x, H) + _forget_bias4(H)).reshape(
+            1, -1).astype(jnp.float32),
+        _perm_ifog(w_h, H).astype(cd),
         att_q.astype(cd),
         att_b.reshape(1, -1).astype(jnp.float32),
         att_v.reshape(1, -1).astype(jnp.float32),
@@ -793,7 +810,9 @@ def las_decoder_bwd(
         interpret=interpret,
     )(*operands)
 
-    dgates = outs[0][:, :L]
+    # Kernel streams dgates in its internal (i,f,o,g) order; the perm is
+    # an involution, so reapplying it restores the caller's (i,f,g,o).
+    dgates = _perm_ifog(outs[0][:, :L], H)
     dctx_seq = outs[1][:, :L]
     dqb_seq = outs[2][:, :L]
     demb = outs[3][:, :L]

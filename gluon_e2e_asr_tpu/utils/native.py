@@ -1,9 +1,12 @@
 """ctypes bindings for the native host-path library (lazy g++ build).
 
-The shared library is built on first use from ``native/asr_native.cpp``
-(g++ is in the image; pybind11/Rust are not — SURVEY.md environment
-notes). Every entry point has a pure-Python fallback in its caller, so
-an unavailable toolchain degrades gracefully.
+The shared library is built on first use from the packaged
+``gluon_e2e_asr_tpu/native/asr_native.cpp`` (g++ is in the image;
+pybind11/Rust are not — SURVEY.md environment notes). Every entry point
+has a pure-Python fallback in its caller, so an unavailable toolchain
+degrades gracefully. The .so lands next to the source when that
+directory is writable (dev checkout), else in a per-user cache dir
+(read-only site-packages install).
 """
 
 from __future__ import annotations
@@ -16,10 +19,21 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libasr_native.so")
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_PKG_ROOT, "native")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "asr_native.cpp")
+
+
+def _lib_path() -> str:
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return os.path.join(_NATIVE_DIR, "libasr_native.so")
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "gluon_e2e_asr_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libasr_native.so")
+
+
+_LIB_PATH = _lib_path()
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

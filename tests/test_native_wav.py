@@ -1,6 +1,6 @@
 """Native wav decode + fused batch-load parity vs the Python paths.
 
-The native library (native/asr_native.cpp) carries the real-corpus host
+The native library (gluon_e2e_asr_tpu/native/asr_native.cpp) carries the real-corpus host
 hot path [SURVEY.md §2.2; docs/ROADMAP.md #10]; these tests pin its
 numerics to the Python ``wave``-module reference in
 data/manifest.py::load_audio.
