@@ -30,16 +30,18 @@ enable_compilation_cache()
 
 # Measured on this machine (see BASELINE.md): CPU-JAX utt/sec on the same
 # batch shapes and model config as the TPU benchmark below, per batch
-# size (python bench.py --cpu-baseline --batch N).
+# size (python bench.py --cpu-baseline --batch N). fp32 on CPU (bf16
+# has no CPU advantage; conservative for the ratio).
 CPU_BASELINE_UTT_PER_SEC = {
     16: 0.433,  # measured 2026-08-16
     64: 0.302,  # measured 2026-08-17
+    96: 0.668,  # measured 2026-08-17
 }
 
 # LibriSpeech-100h-like shapes: ~12.8 s utterances, char targets ~7/s.
-# Batch 64 is the flagship throughput point (v5e-class chips train ASR
-# at large per-chip batch; see BASELINE.md batch rows).
-BATCH = 64
+# Batch 96 + bf16 matmuls is the flagship throughput point (batch sweep
+# 16/64/96/112 in BASELINE.md; streams/accumulation stay f32).
+BATCH = 96
 SECONDS = 12.8
 MAX_LABELS = 96
 WARMUP_STEPS = 3
@@ -107,7 +109,8 @@ def main():
                    help="measure the CPU-JAX stand-in baseline instead")
     p.add_argument("--lstm-impl", default="pallas", choices=["scan", "pallas"])
     p.add_argument("--dec-impl", default="pallas", choices=["scan", "pallas"])
-    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--batch", type=int, default=BATCH)
     args = p.parse_args()
 
@@ -148,9 +151,10 @@ def main():
         "metric": "train_throughput_utt_per_sec_per_chip",
         "value": round(per_chip, 3),
         "unit": "utt/s/chip",
-        "vs_baseline": round(
-            per_chip / CPU_BASELINE_UTT_PER_SEC.get(
-                args.batch, CPU_BASELINE_UTT_PER_SEC[16]), 2),
+        # Nearest measured batch if this one wasn't benchmarked on CPU
+        # (per-utt CPU throughput is batch-sensitive; see the dict).
+        "vs_baseline": round(per_chip / CPU_BASELINE_UTT_PER_SEC[min(
+            CPU_BASELINE_UTT_PER_SEC, key=lambda b: abs(b - args.batch))], 2),
     }))
 
 

@@ -64,14 +64,10 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _perm_ifog(a, H):
-    """Reorder gate columns (i,f,g,o) -> (i,f,o,g) on the last axis.
-
-    Mirrors pallas_lstm._perm_ifog: kernel-internal gate order groups the
-    three sigmoid gates contiguously so they evaluate as one wide VPU
-    op. An involution, so it also restores the caller layout on grads."""
-    return jnp.concatenate(
-        [a[..., :2 * H], a[..., 3 * H:4 * H], a[..., 2 * H:3 * H]], axis=-1)
+# Shared with the encoder kernel: (i,f,g,o) -> (i,f,o,g) gate column
+# permutation (an involution) so the three sigmoid gates evaluate as one
+# wide VPU op, with the forget bias baked into the bias operand.
+from gluon_e2e_asr_tpu.ops.pallas_lstm import _perm_ifog  # noqa: E402
 
 
 def _forget_bias4(H):

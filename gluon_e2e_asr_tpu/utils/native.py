@@ -25,12 +25,23 @@ _SRC_PATH = os.path.join(_NATIVE_DIR, "asr_native.cpp")
 
 
 def _lib_path() -> str:
+    """Cache path keyed by a source digest: different checkouts sharing
+    the user cache never serve each other's binaries, and the staleness
+    check is content-based rather than mtime-based."""
+    try:
+        import hashlib
+
+        with open(_SRC_PATH, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        tag = "nosrc"
+    name = f"libasr_native.{tag}.so"
     if os.access(_NATIVE_DIR, os.W_OK):
-        return os.path.join(_NATIVE_DIR, "libasr_native.so")
+        return os.path.join(_NATIVE_DIR, name)
     cache = os.path.join(
         os.path.expanduser("~"), ".cache", "gluon_e2e_asr_tpu")
     os.makedirs(cache, exist_ok=True)
-    return os.path.join(cache, "libasr_native.so")
+    return os.path.join(cache, name)
 
 
 _LIB_PATH = _lib_path()
@@ -41,16 +52,25 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # Compile to a per-pid temp path then atomically rename: concurrent
+    # processes racing on the same (content-keyed) cache path each
+    # produce an identical binary and the rename is safe either way.
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-             "-pthread", "-o", _LIB_PATH, _SRC_PATH],
+             "-pthread", "-o", tmp, _SRC_PATH],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -61,10 +81,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.exists(_SRC_PATH)
-            and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)
-        ):
+        if not os.path.exists(_LIB_PATH):
             if not _build():
                 _build_failed = True
                 return None
