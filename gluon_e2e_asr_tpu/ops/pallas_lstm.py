@@ -28,6 +28,7 @@ accumulation; (h, c) carries are f32.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -438,10 +439,12 @@ def _v2_fwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref, wx_ref, bx_ref,
     jax.lax.fori_loop(0, tc, body, 0)
 
     # Chunk-wide masking of the streamed outputs (invalid steps -> 0).
-    ysf_ref[...] = ysf_ref[...] * vf_ref[...]
-    csf_ref[...] = csf_ref[...] * vf_ref[...]
-    ysb_ref[...] = ysb_ref[...] * vb_ref[...]
-    csb_ref[...] = csb_ref[...] * vb_ref[...]
+    mask_out = lambda ref, v: (  # noqa: E731
+        ref[...].astype(jnp.float32) * v).astype(ref.dtype)
+    ysf_ref[...] = mask_out(ysf_ref, vf_ref[...])
+    csf_ref[...] = mask_out(csf_ref, vf_ref[...])
+    ysb_ref[...] = mask_out(ysb_ref, vb_ref[...])
+    csb_ref[...] = mask_out(csb_ref, vb_ref[...])
 
 
 def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
@@ -508,23 +511,24 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
     # edge state) instead of streaming XLA-materialized shifted copies —
     # saves two full [B,T,H] HBM streams per direction plus their
     # production (write+read) in the XLA prologue.
-    hpf_scr[:, :1, :] = bhf_ref[0][:, None, :]
-    hpf_scr[:, 1:, :] = ysf_ref[:, :tc - 1, :]
-    cpf_scr[:, :1, :] = bcf_ref[0][:, None, :]
-    cpf_scr[:, 1:, :] = csf_ref[:, :tc - 1, :]
+    f32 = lambda a: a.astype(jnp.float32)  # noqa: E731
+    hpf_scr[:, :1, :] = f32(bhf_ref[0][:, None, :])
+    hpf_scr[:, 1:, :] = f32(ysf_ref[:, :tc - 1, :])
+    cpf_scr[:, :1, :] = f32(bcf_ref[0][:, None, :])
+    cpf_scr[:, 1:, :] = f32(csf_ref[:, :tc - 1, :])
     # backward dir: "previous" state lives at t+1
-    hpb_scr[:, tc - 1:, :] = bhb_ref[0][:, None, :]
-    hpb_scr[:, :tc - 1, :] = ysb_ref[:, 1:, :]
-    cpb_scr[:, tc - 1:, :] = bcb_ref[0][:, None, :]
-    cpb_scr[:, :tc - 1, :] = csb_ref[:, 1:, :]
+    hpb_scr[:, tc - 1:, :] = f32(bhb_ref[0][:, None, :])
+    hpb_scr[:, :tc - 1, :] = f32(ysb_ref[:, 1:, :])
+    cpb_scr[:, tc - 1:, :] = f32(bcb_ref[0][:, None, :])
+    cpb_scr[:, :tc - 1, :] = f32(csb_ref[:, 1:, :])
 
     recompute_acts(xgf_scr, xf_ref, wx_ref[:, :4 * H], bx_ref[:, :4 * H],
                    hpf_scr, whf_ref, vf_ref)
     recompute_acts(xgb_scr, xb_ref, wx_ref[:, 4 * H:], bx_ref[:, 4 * H:],
                    hpb_scr, whb_ref, vb_ref)
     # tanh(c_t) hoisted chunk-wide (off the sequential critical path).
-    thf_scr[...] = jnp.tanh(csf_ref[...])
-    thb_scr[...] = jnp.tanh(csb_ref[...])
+    thf_scr[...] = jnp.tanh(f32(csf_ref[...]))
+    thb_scr[...] = jnp.tanh(f32(csb_ref[...]))
 
     def dir_step(i, xg_scr, cp_ref, dy_ref, wh_ref,
                  dh_scr, dc_scr, dg_scr, th_scr):
@@ -683,10 +687,12 @@ def _v2_fwd_impl(x, lens, w_x, b_x, w_hf, w_hb, compute_dtype, tc):
         1, -1).astype(jnp.float32)
     whf_c = _perm_ifog(w_hf, H).astype(cd)
     whb_c = _perm_ifog(w_hb, H).astype(cd)
-    # Residual/stream dtype stays f32: Mosaic miscompiles bf16 stores of
-    # lane-unaligned (H=320) middle slices, and f32 residuals keep the
-    # gate recompute in the backward exact.
-    sdtype = jnp.float32
+    # Residual/stream dtype stays f32 by default: Mosaic miscompiled
+    # bf16 stores of lane-unaligned (H=320) middle slices when last
+    # tested, and f32 residuals keep the gate recompute in the backward
+    # exact. GLUON_LSTM_STREAM_DTYPE=bfloat16 opts into bf16 streams for
+    # experiments (parity-check on real TPU before trusting).
+    sdtype = jnp.dtype(os.environ.get("GLUON_LSTM_STREAM_DTYPE", "float32"))
 
     ys_f, ys_b, cs_f, cs_b = pl.pallas_call(
         functools.partial(_v2_fwd_kernel, tc=tc, H=H, compute_dtype=cd),
