@@ -51,7 +51,8 @@ CPU_MEASURE_STEPS = 3
 
 
 def build(dp: bool, lstm_impl: str = "scan", batch_size: int = BATCH,
-          compute_dtype: str = "float32", dec_impl: str = "scan"):
+          compute_dtype: str = "float32", dec_impl: str = "scan",
+          att_type: str = "loc"):
     import jax
 
     from __graft_entry__ import _flagship_config, _synth_batch
@@ -64,6 +65,7 @@ def build(dp: bool, lstm_impl: str = "scan", batch_size: int = BATCH,
     config = _flagship_config(tiny=False)
     config.model.lstm_impl = lstm_impl
     config.model.compute_dtype = compute_dtype
+    config.model.att_type = att_type
     config.model.dec_impl = dec_impl
     tok = CharTokenizer()
     model = build_model(config, tok.vocab_size, tok.sos_id, tok.eos_id)
@@ -112,6 +114,7 @@ def main():
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--batch", type=int, default=BATCH)
+    p.add_argument("--att", default="loc", choices=["loc", "add", "dot"])
     args = p.parse_args()
 
     if args.cpu_baseline:
@@ -140,7 +143,8 @@ def main():
     state, step, batch = build(dp=False, lstm_impl=args.lstm_impl,
                                batch_size=args.batch,
                                compute_dtype=args.dtype,
-                               dec_impl=args.dec_impl)
+                               dec_impl=args.dec_impl,
+                               att_type=args.att)
     ups = measure(state, step, batch)
     per_chip = ups  # single-chip benchmark (one real chip on this host)
     print(

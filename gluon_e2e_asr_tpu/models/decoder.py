@@ -296,7 +296,7 @@ class AttentionDecoder(nn.Module):
         cfg = self.cfg
         if cfg.dec_impl != "pallas":
             return False
-        if cfg.dec_layers != 1 or cfg.att_type not in ("add", "loc"):
+        if cfg.dec_layers != 1 or cfg.att_type not in ("add", "loc", "dot"):
             return False
         from gluon_e2e_asr_tpu.ops.pallas_decoder import fused_supported
 
@@ -317,17 +317,24 @@ class AttentionDecoder(nn.Module):
         cfg = self.cfg
         T = enc.shape[1]
         is_loc = cfg.att_type == "loc"
+        has_av = cfg.att_type in ("add", "loc")
         coins_bl = jnp.swapaxes(coins, 0, 1).astype(jnp.float32)
         coins_bl = coins_bl.at[:, 0].set(0.0)
         band2 = (build_loc_band_cmajor(self.loc_filter, T)
                  if is_loc else jnp.zeros((1, 1), jnp.float32))
         loc_proj = (self.loc_proj if is_loc
                     else jnp.zeros((1, cfg.att_dim), jnp.float32))
+        # dot attention has no energy bias/vector params; pass inert
+        # zeros (constants, so their cotangents are dropped).
+        att_b = (self.att_b if has_av
+                 else jnp.zeros((cfg.att_dim,), jnp.float32))
+        att_v = (self.att_v if has_av
+                 else jnp.zeros((cfg.att_dim, 1), jnp.float32))
         return las_decoder_fused(
-            (cfg.compute_dtype, DEFAULT_L_CHUNK, is_loc),
+            (cfg.compute_dtype, DEFAULT_L_CHUNK, cfg.att_type),
             tokens_in, coins_bl, enc, enc_proj, enc_mask, band2,
             self.embed, self.w_x[0], self.b_x[0], self.w_h[0],
-            self.att_q, self.att_b, self.att_v, loc_proj,
+            self.att_q, att_b, att_v, loc_proj,
             self.w_out, self.b_out,
         )
 

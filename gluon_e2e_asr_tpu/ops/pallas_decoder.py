@@ -34,9 +34,11 @@ here governs *every* decoder matmul, so logits differ from the scan
 path at the compute dtype's matmul precision (~1e-3 relative at
 flagship shapes on the MXU; bit-exact in interpret mode).
 
-Supports ``dec_layers == 1`` and att_type in {"add", "loc"} (the
+Supports ``dec_layers == 1`` and att_type in {"add", "loc", "dot"} (the
 flagship + milestone configs); other shapes fall back to the scan path
-at the caller.
+at the caller. For "dot" the additive-energy loop is replaced by a
+single scaled batched matvec per step (and its transpose + outer
+product in the backward) — no [Bb,T,A] tanh at all.
 """
 
 from __future__ import annotations
@@ -160,7 +162,7 @@ def _fwd_kernel(
     # loc band (full, present iff att_type == "loc"), then weights, then
     # outputs and scratch
     *refs,
-    Lc: int, V: int, C: int, is_loc: bool, save_resid: bool,
+    Lc: int, V: int, C: int, is_loc: bool, is_dot: bool, save_resid: bool,
     compute_dtype,
 ):
     if is_loc:
@@ -235,23 +237,34 @@ def _fwd_kernel(
             # Re-slab to [Bb,C,T] (Mosaic cannot lane-split reshape).
             for ch in range(C):
                 f_scr[:, ch, :] = f_ct[:, ch * T:(ch + 1) * T]
-        v_row = attv_ref[...]  # [1,A] (pre-reshaped outside)
-        # Energy + tanh + reduce over A, in T-chunks (bounds the f32 temp).
-        for tc in range(n_tc):
-            t0 = tc * _T_CHUNK
-            e = (encp_ref[:, t0:t0 + _T_CHUNK, :].astype(jnp.float32)
-                 + qb[:, None, :])  # [Bb,Tc,A]
-            if is_loc:
-                # Location feature -> attention space as one MXU matmul:
-                # [Bb,C,Tc] x [C,A], contracting C.
-                e += jax.lax.dot_general(
-                    f_scr[:, :, t0:t0 + _T_CHUNK].astype(cd),
-                    locp_ref[...].astype(cd),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            sc_scr[:, t0:t0 + _T_CHUNK] = jnp.sum(
-                jnp.tanh(e) * v_row[None], axis=-1)
+        if is_dot:
+            # Scaled dot scores as a VPU multiply-reduce (an M=1 batched
+            # matvec lowers to one MXU pass per batch row — slower) —
+            # replaces the whole additive-energy loop (no [Bb,T,A] tanh).
+            A = qb.shape[-1]
+            sc_scr[...] = jnp.sum(
+                encp_ref[...].astype(jnp.float32) * qb[:, None, :],
+                axis=-1,
+            ) * (1.0 / float(np.sqrt(A)))
+        else:
+            v_row = attv_ref[...]  # [1,A] (pre-reshaped outside)
+            # Energy + tanh + reduce over A, in T-chunks (bounds the
+            # f32 temp).
+            for tc in range(n_tc):
+                t0 = tc * _T_CHUNK
+                e = (encp_ref[:, t0:t0 + _T_CHUNK, :].astype(jnp.float32)
+                     + qb[:, None, :])  # [Bb,Tc,A]
+                if is_loc:
+                    # Location feature -> attention space as one MXU
+                    # matmul: [Bb,C,Tc] x [C,A], contracting C.
+                    e += jax.lax.dot_general(
+                        f_scr[:, :, t0:t0 + _T_CHUNK].astype(cd),
+                        locp_ref[...].astype(cd),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                sc_scr[:, t0:t0 + _T_CHUNK] = jnp.sum(
+                    jnp.tanh(e) * v_row[None], axis=-1)
         scores = jnp.where(mask > 0, sc_scr[...], neg)  # [Bb,T]
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
@@ -311,6 +324,7 @@ def las_decoder_fwd(
     save_resid: bool = True,
     block_batch=None,
     interpret=None,
+    is_dot: bool = False,
 ):
     """Run the fused decoder over all L steps. Returns
     (logits [B,L,V], residuals) — residuals is None if save_resid=False,
@@ -415,7 +429,7 @@ def las_decoder_fwd(
 
     outs = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, Lc=Lc, V=V, C=C, is_loc=is_loc,
+            _fwd_kernel, Lc=Lc, V=V, C=C, is_loc=is_loc, is_dot=is_dot,
             save_resid=save_resid, compute_dtype=cd,
         ),
         grid=grid,
@@ -448,7 +462,7 @@ def _bwd_kernel(
     # residents
     enc_ref, encp_ref, mask_ref,
     *refs,
-    Lc: int, V: int, C: int, is_loc: bool, compute_dtype,
+    Lc: int, V: int, C: int, is_loc: bool, is_dot: bool, compute_dtype,
 ):
     if is_loc:
         band_ref = refs[0]
@@ -535,9 +549,20 @@ def _bwd_kernel(
                            preferred_element_type=jnp.float32)  # [Bb,C*T]
             for ch in range(C):
                 f_scr[:, ch, :] = f_ct[:, ch * T:(ch + 1) * T]
-        v_row = attv_ref[...]  # [1,A]
-        dqb = jnp.zeros_like(qb)
-        for tc in range(n_tc):
+        if is_dot:
+            A = qb.shape[-1]
+            dsn = ds * (1.0 / float(np.sqrt(A)))  # [Bb,T]
+            # scores = qb . encp / sqrt(A):
+            #   dqb   = sum_t dsn[t] * encp[t]   (VPU multiply-reduce)
+            #   dencp += dsn (x) qb              (outer product)
+            dqb = jnp.sum(
+                encp_ref[...].astype(jnp.float32) * dsn[..., None], axis=1)
+            dencp_scr[...] += dsn[..., None] * qb[:, None, :]
+        else:
+            v_row = attv_ref[...]  # [1,A]
+            dqb = jnp.zeros_like(qb)
+        # Additive/location energy backward (statically absent for dot).
+        for tc in range(0 if is_dot else n_tc):
             t0 = tc * _T_CHUNK
             e = (encp_ref[:, t0:t0 + _T_CHUNK, :].astype(jnp.float32)
                  + qb[:, None, :])
@@ -669,6 +694,7 @@ def las_decoder_bwd(
     l_chunk: int = DEFAULT_L_CHUNK,
     block_batch=None,
     interpret=None,
+    is_dot: bool = False,
 ):
     """Reverse sweep. Returns a dict of cotangents; big weight grads are
     single XLA einsums over the streamed per-step grads (one large MXU op
@@ -796,6 +822,7 @@ def las_decoder_bwd(
 
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, Lc=Lc, V=V, C=C, is_loc=is_loc,
+                          is_dot=is_dot,
                           compute_dtype=cd),
         grid=(nB, nL),
         in_specs=in_specs,
@@ -858,12 +885,16 @@ def las_decoder_fused(static, tokens, coins, enc, enc_proj, enc_mask, band2,
                       embed, w_x, b_x, w_h, att_q, att_b, att_v, loc_proj,
                       w_out, b_out):
     """Differentiable fused decoder. ``static`` = (compute_dtype_name,
-    l_chunk, is_loc). For att_type="add" pass a dummy band2/loc_proj."""
-    cd, l_chunk, is_loc = static
+    l_chunk, att_kind) with att_kind in {"loc","add","dot"}. For
+    att_type != "loc" pass a dummy band2/loc_proj; for "dot" also dummy
+    att_b/att_v."""
+    cd, l_chunk, att_kind = static
+    is_loc = att_kind == "loc"
     logits, _ = las_decoder_fwd(
         tokens, coins, enc, enc_proj, enc_mask, band2 if is_loc else None,
         embed, w_x, b_x, w_h, att_q, att_b, att_v, loc_proj, w_out, b_out,
         compute_dtype=cd, l_chunk=l_chunk, save_resid=False,
+        is_dot=att_kind == "dot",
     )
     return logits
 
@@ -871,11 +902,13 @@ def las_decoder_fused(static, tokens, coins, enc, enc_proj, enc_mask, band2,
 def _fused_fwd(static, tokens, coins, enc, enc_proj, enc_mask, band2,
                embed, w_x, b_x, w_h, att_q, att_b, att_v, loc_proj,
                w_out, b_out):
-    cd, l_chunk, is_loc = static
+    cd, l_chunk, att_kind = static
+    is_loc = att_kind == "loc"
     logits, resid = las_decoder_fwd(
         tokens, coins, enc, enc_proj, enc_mask, band2 if is_loc else None,
         embed, w_x, b_x, w_h, att_q, att_b, att_v, loc_proj, w_out, b_out,
         compute_dtype=cd, l_chunk=l_chunk, save_resid=True,
+        is_dot=att_kind == "dot",
     )
     saved = (resid, tokens, coins, enc, enc_proj, enc_mask, band2, embed,
              w_x, b_x, w_h, att_q, att_b, att_v, loc_proj, w_out, b_out)
@@ -883,14 +916,15 @@ def _fused_fwd(static, tokens, coins, enc, enc_proj, enc_mask, band2,
 
 
 def _fused_bwd(static, saved, dlogits):
-    cd, l_chunk, is_loc = static
+    cd, l_chunk, att_kind = static
+    is_loc = att_kind == "loc"
     (resid, tokens, coins, enc, enc_proj, enc_mask, band2, embed,
      w_x, b_x, w_h, att_q, att_b, att_v, loc_proj, w_out, b_out) = saved
     g = las_decoder_bwd(
         dlogits.astype(jnp.float32), resid, enc, enc_proj, enc_mask,
         band2 if is_loc else None,
         embed, w_x, b_x, w_h, att_q, att_b, att_v, loc_proj, w_out,
-        compute_dtype=cd, l_chunk=l_chunk,
+        compute_dtype=cd, l_chunk=l_chunk, is_dot=att_kind == "dot",
     )
     ftok = np.zeros((), jax.dtypes.float0)
     d_tokens = np.zeros(tokens.shape, jax.dtypes.float0)

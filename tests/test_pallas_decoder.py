@@ -45,12 +45,14 @@ def _fused_args(cfg, p, enc, enc_len, tokens, coins_bl):
              if is_loc else jnp.zeros((1, 1)))
     return (tokens, coins_bl, enc, enc_proj, enc_mask, band2,
             p["embed"], p["cell0_wx"], p["cell0_b"], p["cell0_wh"],
-            p["att_q"], p["att_b"], p["att_v"],
+            p["att_q"],
+            p.get("att_b", jnp.zeros((cfg.att_dim,))),
+            p.get("att_v", jnp.zeros((cfg.att_dim, 1))),
             p.get("loc_proj", jnp.zeros((1, cfg.att_dim))),
             p["out_w"], p["out_b"])
 
 
-@pytest.mark.parametrize("att_type", ["loc", "add"])
+@pytest.mark.parametrize("att_type", ["loc", "add", "dot"])
 def test_fwd_matches_scan(att_type):
     cfg, dec, variables, enc, enc_len, tokens = _setup(att_type)
     ref = dec.apply(variables, enc, enc_len, tokens, 0.0, None)
@@ -60,7 +62,8 @@ def test_fwd_matches_scan(att_type):
     if att_type != "loc":
         args[5] = None  # las_decoder_fwd infers is_loc from band2
     logits, resid = las_decoder_fwd(*args, compute_dtype="float32",
-                                    l_chunk=4)
+                                    l_chunk=4,
+                                    is_dot=att_type == "dot")
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
     # residual shapes
@@ -71,7 +74,7 @@ def test_fwd_matches_scan(att_type):
     np.testing.assert_array_equal(np.asarray(tok_seq), np.asarray(tokens))
 
 
-@pytest.mark.parametrize("att_type", ["loc", "add"])
+@pytest.mark.parametrize("att_type", ["loc", "add", "dot"])
 def test_scheduled_sampling_matches_stepwise(att_type):
     """Argmax feedback in-kernel == an explicit step loop with the same
     coins [SURVEY.md §2.1 #12]."""
@@ -99,12 +102,13 @@ def test_scheduled_sampling_matches_stepwise(att_type):
                             coins.T.astype(jnp.float32)))
     if att_type != "loc":
         args[5] = None  # las_decoder_fwd infers is_loc from band2
-    logits, _ = las_decoder_fwd(*args, compute_dtype="float32", l_chunk=4)
+    logits, _ = las_decoder_fwd(*args, compute_dtype="float32", l_chunk=4,
+                                is_dot=att_type == "dot")
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("att_type", ["loc", "add"])
+@pytest.mark.parametrize("att_type", ["loc", "add", "dot"])
 def test_grads_match_scan_autodiff(att_type):
     """custom_vjp backward kernel == autodiff through the scan path, for
     every parameter (incl. loc_filter via the band gather and att_k via
@@ -112,7 +116,6 @@ def test_grads_match_scan_autodiff(att_type):
     cfg, dec, variables, enc, enc_len, tokens = _setup(att_type)
     p = variables["params"]
     w = jax.random.normal(jax.random.PRNGKey(5), (B, L, V))
-    is_loc = att_type == "loc"
 
     def loss_scan(p, enc):
         lg = dec.apply({"params": p}, enc, enc_len, tokens, 0.0, None)
@@ -121,7 +124,7 @@ def test_grads_match_scan_autodiff(att_type):
     def loss_fused(p, enc):
         coins = jnp.zeros((B, L), jnp.float32)
         args = _fused_args(cfg, p, enc, enc_len, tokens, coins)
-        lg = las_decoder_fused(("float32", 4, is_loc), *args)
+        lg = las_decoder_fused(("float32", 4, att_type), *args)
         return jnp.sum(lg * w)
 
     (v1, g1) = jax.value_and_grad(loss_scan, argnums=(0, 1))(p, enc)
