@@ -217,3 +217,30 @@ def test_batch_sharding_layout():
     arr = jax.device_put(x, sh)
     # each device holds 1/8 of the batch
     assert arr.addressable_shards[0].data.shape == (1, 16)
+
+
+def test_shard_map_with_both_pallas_kernels_matches_single_device():
+    """shard_map DP with BOTH fused kernels (Pallas BiLSTM + Pallas
+    decoder) stays shard-local and matches the single-device step — the
+    full flagship compute path under the multi-chip discipline."""
+    cfg, _, tx, _, batch = _setup(deterministic=True)
+    cfg.train.dp_impl = "shard_map"
+    cfg.model.lstm_impl = "pallas"
+    cfg.model.lstm_time_chunk = 4
+    cfg.model.dec_impl = "pallas"
+    tok = CharTokenizer()
+    model = build_model(cfg, tok.vocab_size, tok.sos_id, tok.eos_id)
+
+    mesh = make_mesh()
+    state = create_train_state(cfg, model, tx, batch)
+    step_sm = make_train_step(model, cfg, tx, mesh=mesh)
+    s_sm, m_sm = step_sm(state, shard_batch_arrays(mesh, batch))
+
+    state2 = create_train_state(cfg, model, tx, batch)
+    step_1 = make_train_step(model, cfg, tx, mesh=None)
+    s_1, m_1 = step_1(state2, {k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(float(m_sm["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_sm.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s_1.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
