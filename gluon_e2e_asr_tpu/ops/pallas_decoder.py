@@ -44,6 +44,7 @@ product in the backward) — no [Bb,T,A] tanh at all.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -52,7 +53,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_L_CHUNK = 8
+# Decode-step chunk per grid iteration (streams tokens in / logits +
+# residuals out while state persists in scratch). Env-overridable for
+# tuning sweeps.
+DEFAULT_L_CHUNK = int(os.environ.get("GLUON_DEC_L_CHUNK", "8"))
 _T_CHUNK = 64  # T is padded to a multiple of this; e-temps are [Bb,Tc,A]
 # This chip compiles and runs kernels well past the default ~16 MB scoped
 # VMEM (measured: 96 MB scratch OK with an explicit 128 MB limit — v5e's
