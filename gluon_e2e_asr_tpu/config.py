@@ -213,6 +213,32 @@ def load_config(path: str) -> Config:
     return config_from_dict(raw)
 
 
+def apply_overrides(config: Config, overrides) -> Config:
+    """Apply dotted CLI overrides, e.g. ``model.att_type=dot``,
+    ``data.batch_size=96``, ``train.dp=true``,
+    ``data.bucket_bounds_sec=[2.0,4.0]`` — values parse with the same
+    scalar rules as the yaml loader. Mutates and returns ``config``.
+    Unknown keys raise (same strictness as the yaml path)."""
+    for item in overrides or ():
+        key, sep, val = item.partition("=")
+        if not sep:
+            raise ValueError(f"--set expects key=value, got {item!r}")
+        parts = key.strip().split(".")
+        obj = config
+        for part in parts[:-1]:
+            if not hasattr(obj, part):
+                raise KeyError(f"unknown config section {part!r} in {key!r}")
+            obj = getattr(obj, part)
+        leaf = parts[-1]
+        if not hasattr(obj, leaf):
+            raise KeyError(f"unknown config key {key!r}")
+        parsed = _parse_scalar(val.strip())
+        if isinstance(parsed, list):
+            parsed = tuple(parsed)
+        setattr(obj, leaf, parsed)
+    return config
+
+
 def config_from_dict(raw: Dict[str, Any]) -> Config:
     sub = {
         "data": DataConfig,

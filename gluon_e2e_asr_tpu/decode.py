@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gluon_e2e_asr_tpu.config import Config, load_config
+from gluon_e2e_asr_tpu.config import Config, apply_overrides, load_config
 from gluon_e2e_asr_tpu.data.loader import DataLoader
 from gluon_e2e_asr_tpu.data.sampler import BucketSampler, make_bucket_specs
 from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
@@ -46,9 +46,13 @@ def main(argv=None):
     p.add_argument("--output", type=str, default="")
     p.add_argument("--method", type=str, default="",
                    help="override decode.method (greedy|beam)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   help="dotted config override, e.g. decode.beam_size=20 "
+                        "(repeatable)")
     args = p.parse_args(argv)
 
     config = load_config(args.config) if args.config else Config()
+    apply_overrides(config, args.set)
     if args.method:
         config.decode.method = args.method
     out_path = args.output or config.decode.output_path

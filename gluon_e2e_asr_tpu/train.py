@@ -15,7 +15,7 @@ from gluon_e2e_asr_tpu.utils.platform import configure_from_env
 
 configure_from_env()
 
-from gluon_e2e_asr_tpu.config import Config, load_config
+from gluon_e2e_asr_tpu.config import Config, apply_overrides, load_config
 from gluon_e2e_asr_tpu.training.trainer import Trainer
 
 
@@ -27,9 +27,13 @@ def main(argv=None):
                    help="resume from latest checkpoint in workdir")
     p.add_argument("--max-steps", type=int, default=0,
                    help="override train.max_steps (0 = keep config)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   help="dotted config override, e.g. model.att_type=dot "
+                        "(repeatable)")
     args = p.parse_args(argv)
 
     config = load_config(args.config) if args.config else Config()
+    apply_overrides(config, args.set)
     if args.max_steps:
         config.train.max_steps = args.max_steps
 

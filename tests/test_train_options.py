@@ -114,3 +114,25 @@ def test_sgd_optimizer():
     step = make_train_step(model, cfg, tx)
     state, metrics = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_cli_set_overrides():
+    """--set dotted overrides parse with yaml scalar rules and reject
+    unknown keys (same strictness as the loader)."""
+    import pytest
+
+    from gluon_e2e_asr_tpu.config import Config, apply_overrides
+
+    c = Config()
+    apply_overrides(c, ["model.att_type=dot", "data.batch_size=96",
+                        "train.dp=true", "loss.mtl_alpha=0.5",
+                        "data.bucket_bounds_sec=[1.0, 3.5]"])
+    assert c.model.att_type == "dot"
+    assert c.data.batch_size == 96
+    assert c.train.dp is True
+    assert abs(c.loss.mtl_alpha - 0.5) < 1e-9
+    assert c.data.bucket_bounds_sec == (1.0, 3.5)
+    with pytest.raises(KeyError):
+        apply_overrides(c, ["model.no_such_key=1"])
+    with pytest.raises(ValueError):
+        apply_overrides(c, ["model.att_type"])
