@@ -218,7 +218,7 @@ class Trainer:
         for epoch in range(self.epoch0, tc.num_epochs):
             t_epoch = time.perf_counter()
             utts_done, tokens_done = 0, 0
-            window_t0, window_utts = time.perf_counter(), 0
+            window_t0, window_utts, window_tokens = time.perf_counter(), 0, 0
             skip = self.skip_batches if epoch == self.epoch0 else 0
             stopped_at = -1
             for batch_idx, (bucket, idxs) in enumerate(
@@ -243,6 +243,7 @@ class Trainer:
                     profiling = False
                 utts_done += b.num_real
                 window_utts += b.num_real
+                window_tokens += int(b.label_len.sum())
                 tokens_done += int(b.label_len.sum())
                 if step % tc.log_every_steps == 0:
                     metrics = jax.device_get(metrics)
@@ -260,9 +261,13 @@ class Trainer:
                         "utt_per_sec_per_chip": round(
                             window_utts / max(dt, 1e-9) / self.n_chips, 2
                         ),
+                        "tokens_per_sec": round(
+                            window_tokens / max(dt, 1e-9), 1
+                        ),
                     }
                     self.logger.log(rec)
-                    window_t0, window_utts = time.perf_counter(), 0
+                    window_t0, window_utts, window_tokens = (
+                        time.perf_counter(), 0, 0)
                 if tc.ckpt_every_steps and step % tc.ckpt_every_steps == 0:
                     self._checkpoint(epoch, None, batches_done=batch_idx + 1)
             if stopped_at >= 0:
@@ -281,6 +286,8 @@ class Trainer:
                 "utt_per_sec_per_chip": round(
                     utts_done / max(epoch_time, 1e-9) / self.n_chips, 2
                 ),
+                "tokens_per_sec": round(
+                    tokens_done / max(epoch_time, 1e-9), 1),
                 **{k: round(v, 4) for k, v in dev.items()},
             }
             self.logger.log(rec)
