@@ -151,14 +151,20 @@ def main():
         f"devices={jax.devices()} utt/s/chip={per_chip:.2f}",
         file=sys.stderr,
     )
+    # Nearest measured batch if this one wasn't benchmarked on CPU
+    # (per-utt CPU throughput is batch-sensitive; see the dict).
+    base_batch = min(CPU_BASELINE_UTT_PER_SEC,
+                     key=lambda b: abs(b - args.batch))
     print(json.dumps({
         "metric": "train_throughput_utt_per_sec_per_chip",
         "value": round(per_chip, 3),
         "unit": "utt/s/chip",
-        # Nearest measured batch if this one wasn't benchmarked on CPU
-        # (per-utt CPU throughput is batch-sensitive; see the dict).
-        "vs_baseline": round(per_chip / CPU_BASELINE_UTT_PER_SEC[min(
-            CPU_BASELINE_UTT_PER_SEC, key=lambda b: abs(b - args.batch))], 2),
+        "vs_baseline": round(
+            per_chip / CPU_BASELINE_UTT_PER_SEC[base_batch], 2),
+        # No published reference number exists (BASELINE.json "published":
+        # {}); the ratio is against this repo's own CPU-JAX measurement at
+        # identical shapes — a conservative proxy for MXNet-CPU.
+        "baseline": f"cpu-jax-standin-batch{base_batch}",
     }))
 
 

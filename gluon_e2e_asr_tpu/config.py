@@ -93,6 +93,10 @@ class ModelConfig:
     # Recurrent loop implementation: "scan" (lax.scan baseline) or
     # "pallas" (VMEM-resident-weight kernel, ops/pallas_lstm.py).
     lstm_impl: str = "scan"
+    # Pallas-kernel time chunk. Rounded DOWN to a multiple of 8 with a
+    # floor of 8 (Mosaic second-minor tiling), and clamped further down
+    # when the backward kernel would exceed the VMEM budget; values < 8
+    # are raised with a one-time warning (ops/pallas_lstm.py).
     lstm_time_chunk: int = 16
     # Teacher-forced decoder implementation: "scan" (lax.scan baseline)
     # or "pallas" (fused per-step kernel + mirrored backward,
@@ -111,8 +115,14 @@ class LossConfig:
     mtl_alpha: float = 0.3
     label_smoothing: float = 0.1
     # Scheduled sampling probability of feeding model's own argmax
-    # prediction instead of the gold token [BASELINE.json:L9].
+    # prediction instead of the gold token [BASELINE.json:L9]. This is
+    # the FINAL (target) probability; with a warmup it is reached by a
+    # linear per-optimizer-step ramp from 0 (the ESPnet-v0-era family
+    # ramps the sampling ratio rather than fixing it, SURVEY.md §2.1 #12).
     scheduled_sampling: float = 0.0
+    # Ramp length in optimizer steps: effective prob at step s is
+    # scheduled_sampling * min(s / warmup, 1). 0 = constant (no ramp).
+    scheduled_sampling_warmup_steps: int = 0
 
 
 @dataclass
@@ -163,6 +173,15 @@ class DecodeConfig:
     minlen_ratio: float = 0.0
     # Length normalization at finalization [BASELINE.json:L11].
     length_norm: bool = True
+    # CTC prefix scores are maintained per (beam, extension-token) over
+    # encoder time — [T, B, K, V, 2] floats with full-vocab scoring, which
+    # is fine at char vocab but blows up at BPE sizes. With
+    # ctc_score_candidates = N > 0, only the top-N tokens by attention
+    # log-prob per beam are CTC-scored ([T, B, K, N, 2]) and continuations
+    # are restricted to them (ESPnet-style partial scoring; pre-beam
+    # N ≈ 1.5–2× beam_size is customary). 0 = full-vocab scoring, which
+    # refuses vocabs > 512 (set N instead).
+    ctc_score_candidates: int = 0
     output_path: str = "decode.jsonl"
 
 

@@ -16,10 +16,18 @@ shape so each bucket compiles exactly one XLA program
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+_LOG = logging.getLogger(__name__)
+
+# After this many consecutive native-path failures, stop retrying the C++
+# fused loader for the rest of the process (a systematic error — e.g. an
+# unsupported subformat — would otherwise silently retry every batch).
+_NATIVE_WAV_MAX_FAILURES = 3
 
 from gluon_e2e_asr_tpu.data.manifest import Utterance, load_audio
 from gluon_e2e_asr_tpu.data.sampler import BucketSampler, BucketSpec
@@ -90,6 +98,7 @@ class DataLoader:
         self.sample_rate = sample_rate
         self._native = _get_native_packer() if use_native else None
         self._native_wav = _get_native_wav_loader() if use_native else None
+        self._native_wav_failures = 0
         # Synthetic audio is cheap; cache decoded waveforms for reuse across
         # epochs (they are small: seconds of float32).
         self._wave_cache: Dict[int, np.ndarray] = {}
@@ -122,8 +131,21 @@ class DataLoader:
                     [self.utts[i].audio_path for i in idxs],
                     self.sample_rate, spec.max_samples, spec.batch_size,
                 )
-            except Exception:
+                self._native_wav_failures = 0
+            except Exception as e:
                 audio = audio_len = None  # fall through to Python decode
+                self._native_wav_failures += 1
+                if self._native_wav_failures == 1:
+                    _LOG.warning(
+                        "native fused wav loader failed (falling back to "
+                        "per-sample Python decode — a large slowdown on a "
+                        "real corpus): %s", e)
+                if self._native_wav_failures >= _NATIVE_WAV_MAX_FAILURES:
+                    _LOG.warning(
+                        "native fused wav loader failed %d consecutive "
+                        "batches; disabling it for this process",
+                        self._native_wav_failures)
+                    self._native_wav = None
         if audio is None:
             waves = [self._wave(i) for i in idxs]
             if self._native is not None:

@@ -59,15 +59,33 @@ def _ctc_extension_scores(
     last_tok: jnp.ndarray,  # [B, K] last token of each prefix
     is_empty: jnp.ndarray,  # [B, K] bool: prefix is empty
     blank_id: int,
+    cand: jnp.ndarray = None,  # [B, K, N] candidate token ids, or None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Scores for extending every (batch, beam) prefix by every token.
 
-    Returns (psi [B,K,V], r_new [T,B,K,V,2], full_prob [B,K]).
+    With ``cand=None`` every vocabulary token is scored (N = V below).
+    With ``cand`` only those N tokens are scored per beam — the
+    ESPnet-style partial scoring that keeps the per-step prefix state
+    [T, B, K, N, 2] bounded at BPE-sized vocabularies.
+
+    Returns (psi [B,K,N], r_new [T,B,K,N,2], full_prob [B,K]).
     """
     B, T, V = ctc_logp.shape
     K = r_prev.shape[1]
-    xs = jnp.swapaxes(ctc_logp, 0, 1)[:, :, None, :]  # [T,B,1,V]
-    xb = xs[..., blank_id : blank_id + 1]  # [T,B,1,1]
+    xt = jnp.swapaxes(ctc_logp, 0, 1)  # [T,B,V]
+    xb = xt[:, :, None, blank_id : blank_id + 1]  # [T,B,1,1]
+    if cand is None:
+        xs = xt[:, :, None, :]  # [T,B,1,V] (broadcasts over K)
+        n_ext = V
+    else:
+        n_ext = cand.shape[-1]
+        # Gather per-(beam, candidate) emission columns: [B,T,K,N].
+        xs = jnp.moveaxis(
+            jnp.take_along_axis(
+                ctc_logp[:, :, None, :], cand[:, None, :, :], axis=3
+            ),
+            1, 0,
+        )  # [T,B,K,N]
     tmask = (jnp.arange(T)[:, None] < enc_len[None, :])[:, :, None, None]
 
     # r(g) at t-1, prepended with the virtual t=-1 row:
@@ -82,9 +100,13 @@ def _ctc_extension_scores(
     )  # [B,K,2]
     r_g_shift = jnp.concatenate([rm1[None], r_g[:-1]], axis=0)  # [T,B,K,2]
 
-    same_as_last = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, K, V), 2) == last_tok[..., None]
-    )
+    if cand is None:
+        same_as_last = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, K, V), 2)
+            == last_tok[..., None]
+        )
+    else:
+        same_as_last = cand == last_tok[..., None]  # [B,K,N]
 
     def t_step(carry, inp):
         r_n_h, r_b_h, psi = carry  # [B,K,V]
@@ -100,9 +122,9 @@ def _ctc_extension_scores(
         return (r_n_h2, r_b_h2, psi2), jnp.stack([r_n_h2, r_b_h2], axis=-1)
 
     init = (
-        jnp.full((B, K, V), NEG_INF),
-        jnp.full((B, K, V), NEG_INF),
-        jnp.full((B, K, V), NEG_INF),
+        jnp.full((B, K, n_ext), NEG_INF),
+        jnp.full((B, K, n_ext), NEG_INF),
+        jnp.full((B, K, n_ext), NEG_INF),
     )
     (_, _, psi), r_new = jax.lax.scan(
         t_step, init, (xs, xb, r_g_shift, tmask)
@@ -138,6 +160,24 @@ def make_beam_decoder(
     V = tokenizer.vocab_size
     if not model.use_decoder:
         raise ValueError("beam decoding requires the attention decoder")
+    # Partial CTC scoring: restrict extensions to the top-N tokens by
+    # attention log-prob per beam. Full-vocab scoring materializes
+    # [T, B, K, V, 2] prefix states per step — refuse that loudly at BPE
+    # vocab sizes instead of OOMing [VERDICT.md weak #6].
+    n_cand = int(dc.ctc_score_candidates)
+    use_partial = w > 0.0 and 0 < n_cand < V
+    if w > 0.0 and not use_partial and V > 512:
+        raise ValueError(
+            f"full-vocab CTC prefix scoring at vocab_size={V} would "
+            "materialize a [T,B,K,V,2] prefix state per step; set "
+            "decode.ctc_score_candidates (e.g. 2*beam_size) to enable "
+            "partial scoring"
+        )
+    if use_partial and n_cand < K:
+        raise ValueError(
+            f"ctc_score_candidates={n_cand} must be >= beam_size={K} "
+            "(each step keeps K continuations drawn from the candidates)"
+        )
 
     @jax.jit
     def device_fn(params, audio, audio_len):
@@ -211,11 +251,23 @@ def make_beam_decoder(
             )
             att_logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
 
+            # blank/sos/eos/unk never continue a hypothesis (eos is handled
+            # by the finished buffer; unk is excluded from generation)
+            bad = jnp.zeros((V,), bool).at[blank_id].set(True)
+            bad = bad.at[sos_id].set(True).at[eos_id].set(True)
+            bad = bad.at[unk_id].set(True)
+
             # ---- CTC prefix extension scores ----
+            cand = None
+            if use_partial:
+                # Pre-select the n_cand best continuation tokens per beam
+                # by attention score; only those are CTC-scored.
+                pre = jnp.where(bad[None, None, :], NEG_INF, att_logp)
+                _, cand = jax.lax.top_k(pre, n_cand)  # [B,K,N]
             if w > 0.0:
                 psi, r_new, full_prob = _ctc_extension_scores(
                     ctc_logp, enc_len, carry["r"], carry["last_tok"],
-                    carry["last_tok"] < 0, blank_id,
+                    carry["last_tok"] < 0, blank_id, cand=cand,
                 )
             else:
                 psi = jnp.zeros((B, K, V))
@@ -223,7 +275,13 @@ def make_beam_decoder(
                 full_prob = jnp.zeros((B, K))
 
             att_total = carry["att_sum"][..., None] + att_logp  # [B,K,V]
-            joint = (1.0 - w) * att_total + w * psi  # [B,K,V]
+            if use_partial:
+                att_cont = jnp.take_along_axis(att_total, cand, axis=2)
+                tok_bad = bad[cand]  # [B,K,N]
+            else:
+                att_cont = att_total
+                tok_bad = jnp.broadcast_to(bad[None, None, :], (B, K, V))
+            joint = (1.0 - w) * att_cont + w * psi  # [B,K,n_ext]
 
             # ---- eos candidates -> finished buffer (length-normalized) ----
             eos_score = (1.0 - w) * att_total[..., eos_id] + w * full_prob
@@ -262,12 +320,7 @@ def make_beam_decoder(
             # that used to carry their -inf has zero weight in `joint`.
             alive = carry["att_sum"] > NEG_INF / 2  # [B,K]
             cont = jnp.where(alive[..., None], cont, NEG_INF)
-            # blank/sos/eos/unk never continue a hypothesis (eos is handled
-            # by the finished buffer; unk is excluded from generation)
-            bad = jnp.zeros((V,), bool).at[blank_id].set(True)
-            bad = bad.at[sos_id].set(True).at[eos_id].set(True)
-            bad = bad.at[unk_id].set(True)
-            cont = jnp.where(bad[None, None, :], NEG_INF, cont)
+            cont = jnp.where(tok_bad, NEG_INF, cont)
             # beams of samples past maxlen cannot continue
             past = (i + 1 >= maxlen)[:, None, None]
             cont = jnp.where(past, NEG_INF, cont)
@@ -276,11 +329,17 @@ def make_beam_decoder(
                 (carry["hyp_len"] >= Lmax)[..., None], NEG_INF, cont
             )
 
-            # ---- top-K over K*V ----
-            flat = cont.reshape(B, K * V)
+            # ---- top-K over K*n_ext ----
+            n_ext = cont.shape[-1]
+            flat = cont.reshape(B, K * n_ext)
             top_scores, top_idx = jax.lax.top_k(flat, K)  # [B,K]
-            parent = top_idx // V
-            token = top_idx % V
+            parent = top_idx // n_ext
+            if use_partial:
+                token = jnp.take_along_axis(
+                    cand.reshape(B, K * n_ext), top_idx, axis=1
+                )
+            else:
+                token = top_idx % n_ext
 
             take = lambda x: jnp.take_along_axis(x, parent, axis=1)
             tokens = jnp.take_along_axis(
@@ -295,13 +354,14 @@ def make_beam_decoder(
             )
             hyp_len = hyp_len + (top_scores > NEG_INF / 2)
             att_sum = jnp.take_along_axis(
-                att_total.reshape(B, K * V), top_idx, axis=1
+                att_cont.reshape(B, K * n_ext), top_idx, axis=1
             )
             att_sum = jnp.where(top_scores > NEG_INF / 2, att_sum, NEG_INF)
 
             if w > 0.0:
-                # gather r for chosen (parent, token): [T,B,K,V,2]
-                r_flat = jnp.moveaxis(r_new, 0, 3).reshape(B, K * V, T, 2)
+                # gather r for chosen (parent, token): [T,B,K,n_ext,2]
+                r_flat = jnp.moveaxis(r_new, 0, 3).reshape(
+                    B, K * n_ext, T, 2)
                 r = jnp.take_along_axis(
                     r_flat, top_idx[..., None, None], axis=1
                 )
@@ -343,8 +403,12 @@ def make_beam_decoder(
         max_steps = jnp.minimum(jnp.max(maxlen), Lmax)
 
         def cond_fn(carry_i):
-            _, i = carry_i
-            return i < max_steps
+            carry, i = carry_i
+            # All-dead early exit (exactness-preserving): dead beams
+            # produce only -inf continuations and never finalize, so the
+            # carry is a fixpoint once every beam of every sample is dead.
+            any_alive = jnp.any(carry["att_sum"] > NEG_INF / 2)
+            return (i < max_steps) & any_alive
 
         def body_fn(carry_i):
             carry, i = carry_i

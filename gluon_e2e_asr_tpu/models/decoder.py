@@ -355,7 +355,11 @@ class AttentionDecoder(nn.Module):
         enc_mask = (jnp.arange(T)[None, :] < enc_len[:, None]).astype(jnp.float32)
         enc_proj = self.precompute(enc)
 
-        use_ss = ss_prob > 0.0 and ss_rng is not None
+        # ss_prob may be a traced scalar (the per-step sampling-ratio ramp,
+        # SURVEY.md §2.1 #12); gate the branch statically: compiled out only
+        # when ss_prob is a Python number <= 0 or no key was given.
+        static_off = isinstance(ss_prob, (int, float)) and ss_prob <= 0.0
+        use_ss = ss_rng is not None and not static_off
         if use_ss:
             coins = jax.random.bernoulli(ss_rng, ss_prob, (L, B))
         else:

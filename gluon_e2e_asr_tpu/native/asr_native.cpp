@@ -130,8 +130,10 @@ bool parse_wav_header(FILE* f, WavInfo* info) {
       unsigned char buf[40];
       const uint32_t take = chunk < sizeof(buf) ? chunk : sizeof(buf);
       if (take < 16 || !read_exact(f, buf, take)) return false;
-      if (chunk > take && std::fseek(f, chunk - take, SEEK_CUR) != 0)
-        return false;
+      // Skip any fmt bytes beyond the buffer, plus the word-alignment pad
+      // byte an odd-sized fmt chunk carries (nonstandard but legal RIFF).
+      const long skip = static_cast<long>(chunk - take) + (chunk & 1);
+      if (skip > 0 && std::fseek(f, skip, SEEK_CUR) != 0) return false;
       info->format = static_cast<uint16_t>(buf[0] | buf[1] << 8);
       info->channels = static_cast<uint16_t>(buf[2] | buf[3] << 8);
       std::memcpy(&info->sample_rate, buf + 4, 4);

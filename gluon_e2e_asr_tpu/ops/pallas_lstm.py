@@ -629,7 +629,20 @@ def _v2_auto_chunk(tc: int, B: int, H: int, D: int) -> int:
     const_words = 3 * (8 * D * H + 8 * H * H + 8 * H) + 4 * B * H
     per_t_words = B * (8 * D + 34 * H + 4)
     tc_max = max((budget_words - const_words) // max(per_t_words, 1), 8)
+    if tc < 8:
+        global _warned_chunk_floor
+        if not _warned_chunk_floor:
+            _warned_chunk_floor = True
+            import warnings
+
+            warnings.warn(
+                f"lstm_time_chunk={tc} raised to the TPU tiling floor of 8 "
+                "(chunks are multiples of 8; see ModelConfig.lstm_time_chunk)",
+                stacklevel=2)
     return max(8, min(tc, (tc_max // 8) * 8))
+
+
+_warned_chunk_floor = False
 
 
 def _v2_pad_time(x, tc):

@@ -152,12 +152,16 @@ def compute_loss(
     cmvn_stats=None,
     train: bool = True,
     axis_name: Optional[str] = None,
+    step: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full forward + hybrid loss [SURVEY.md §3.1 inner stack].
 
     Under shard_map (``axis_name`` set) the batch is the LOCAL shard; the
     loss is normalized by the GLOBAL real-row count (psum) so that
     psum-of-gradients reproduces single-device gradients exactly.
+
+    ``step`` (traced scalar, the optimizer step) drives the scheduled
+    sampling ratio ramp [SURVEY.md §2.1 #12].
     """
     k_spec, k_ss, k_drop = jax.random.split(rng, 3)
     feats, feat_len = frontend_apply(
@@ -180,12 +184,19 @@ def compute_loss(
         tokens_in, targets, tgt_mask = make_decoder_io(
             labels, label_len, model.sos_id, model.eos_id
         )
+    ss_prob = config.loss.scheduled_sampling if train else 0.0
+    warmup = config.loss.scheduled_sampling_warmup_steps
+    if train and ss_prob > 0.0 and warmup > 0 and step is not None:
+        # Linear sampling-ratio ramp 0 -> scheduled_sampling over `warmup`
+        # optimizer steps (traced: one compiled program serves all steps).
+        ss_prob = ss_prob * jnp.minimum(
+            step.astype(jnp.float32) / float(warmup), 1.0)
     out = model.apply(
         {"params": params},
         feats,
         feat_len,
         tokens_in,
-        config.loss.scheduled_sampling if train else 0.0,
+        ss_prob,
         k_ss,
         train=train,
         dropout_rng=k_drop,
@@ -262,6 +273,7 @@ def make_train_step(
             cmvn_stats=cmvn_stats,
             train=True,
             axis_name=axis_name,
+            step=state.step,
         )
         if axis_name is not None:
             grads = jax.lax.psum(grads, axis_name)

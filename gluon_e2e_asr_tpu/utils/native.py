@@ -24,10 +24,30 @@ _NATIVE_DIR = os.path.join(_PKG_ROOT, "native")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "asr_native.cpp")
 
 
+def _host_tag() -> str:
+    """Host/ISA identifier folded into the cache key: the build uses
+    -march=native, so a shared (e.g. NFS) cache dir across heterogeneous
+    hosts must never serve another machine's binary (SIGILL)."""
+    import hashlib
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    parts.append(line.split(":", 1)[1].strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(" ".join(parts).encode()).hexdigest()[:8]
+
+
 def _lib_path() -> str:
-    """Cache path keyed by a source digest: different checkouts sharing
-    the user cache never serve each other's binaries, and the staleness
-    check is content-based rather than mtime-based."""
+    """Cache path keyed by a source digest + host/ISA tag: different
+    checkouts (or machines) sharing the user cache never serve each
+    other's binaries, and the staleness check is content-based rather
+    than mtime-based."""
     try:
         import hashlib
 
@@ -35,13 +55,29 @@ def _lib_path() -> str:
             tag = hashlib.sha256(f.read()).hexdigest()[:16]
     except OSError:
         tag = "nosrc"
-    name = f"libasr_native.{tag}.so"
+    name = f"libasr_native.{tag}.{_host_tag()}.so"
     if os.access(_NATIVE_DIR, os.W_OK):
         return os.path.join(_NATIVE_DIR, name)
     cache = os.path.join(
         os.path.expanduser("~"), ".cache", "gluon_e2e_asr_tpu")
     os.makedirs(cache, exist_ok=True)
     return os.path.join(cache, name)
+
+
+def _prune_stale(lib_path: str) -> None:
+    """Remove superseded hash-named binaries beside a freshly built one."""
+    d = os.path.dirname(lib_path)
+    keep = os.path.basename(lib_path)
+    try:
+        for f in os.listdir(d):
+            if (f.startswith("libasr_native.") and f.endswith(".so")
+                    and f != keep):
+                try:
+                    os.unlink(os.path.join(d, f))
+                except OSError:
+                    pass
+    except OSError:
+        pass
 
 
 _LIB_PATH = _lib_path()
@@ -65,6 +101,7 @@ def _build() -> bool:
             timeout=120,
         )
         os.replace(tmp, _LIB_PATH)
+        _prune_stale(_LIB_PATH)
         return True
     except Exception:
         try:

@@ -24,6 +24,10 @@ def enable_compilation_cache() -> None:
     image's axon compile service: 10.6 s -> 0.3 s across processes).
     First compiles of each entry point are 60-120 s here, so CLIs enable
     this by default; override the location with JAX_COMPILATION_CACHE_DIR."""
+    if os.environ.get("JAX_ENABLE_COMPILATION_CACHE", "").lower() in (
+        "false", "0", "no",
+    ):
+        return
     try:
         import jax
 

@@ -136,3 +136,46 @@ def test_cli_set_overrides():
         apply_overrides(c, ["model.no_such_key=1"])
     with pytest.raises(ValueError):
         apply_overrides(c, ["model.att_type"])
+
+
+def test_scheduled_sampling_ramp():
+    """The sampling-ratio ramp [SURVEY.md §2.1 #12]: with a warmup, the
+    effective scheduled-sampling probability is 0 at step 0 (loss equals
+    the no-sampling loss exactly) and ramps linearly to the target, where
+    it changes the drawn coins (loss differs)."""
+    batch = _batch(seed=3)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    tok = CharTokenizer()
+    rng = jax.random.PRNGKey(7)
+
+    cfg_off = _cfg()
+    cfg_off.loss = LossConfig(mtl_alpha=0.5, scheduled_sampling=0.0)
+    cfg_ramp = _cfg()
+    cfg_ramp.loss = LossConfig(
+        mtl_alpha=0.5, scheduled_sampling=1.0,
+        scheduled_sampling_warmup_steps=100)
+
+    model = build_model(cfg_off, tok.vocab_size)
+    state = create_train_state(cfg_off, model, make_optimizer(cfg_off), batch)
+
+    def loss_at(cfg, step):
+        val, _ = jax.jit(
+            lambda p, s: compute_loss(
+                p, jbatch, rng, model=model, config=cfg, train=True,
+                step=s)
+        )(state.params, jnp.asarray(step, jnp.int32))
+        return float(val)
+
+    base = loss_at(cfg_off, 0)
+    # Step 0 of the ramp: effective prob 0 -> all coins 0 -> identical loss.
+    assert loss_at(cfg_ramp, 0) == pytest.approx(base, abs=1e-6)
+    # Fully ramped: prob 1.0 -> coins all 1 (except forced step 0) -> the
+    # decoder consumes its own argmax, so the loss must differ.
+    assert abs(loss_at(cfg_ramp, 100) - base) > 1e-4
+    # The ramp is monotone in expectation; spot-check the traced prob path
+    # compiles once and serves multiple steps (same jitted callable).
+    f = jax.jit(lambda p, s: compute_loss(
+        p, jbatch, rng, model=model, config=cfg_ramp, train=True, step=s)[0])
+    l50 = float(f(state.params, jnp.asarray(50, jnp.int32)))
+    l100 = float(f(state.params, jnp.asarray(100, jnp.int32)))
+    assert np.isfinite(l50) and np.isfinite(l100)
