@@ -74,9 +74,9 @@ def _get_native_packer():
 
 def _get_native_wav_loader():
     try:
-        from gluon_e2e_asr_tpu.utils.native import load_pack_wav_batch
+        from gluon_e2e_asr_tpu.utils.native import load_pack_audio_batch
 
-        return load_pack_wav_batch
+        return load_pack_audio_batch
     except Exception:
         return None
 
@@ -117,13 +117,13 @@ class DataLoader:
     def make_batch(self, bucket: int, idxs: Sequence[int]) -> Batch:
         spec: BucketSpec = self.sampler.specs[bucket]
         audio = audio_len = None
-        # Real-corpus hot path: every utterance is an on-disk wav -> the
-        # native library reads, decodes, downmixes, and packs the whole
+        # Real-corpus hot path: every utterance is an on-disk wav/flac ->
+        # the native library reads, decodes, downmixes, and packs the whole
         # bucket batch in C++ worker threads with zero per-sample Python
         # (the OS page cache serves repeat epochs) [docs/ROADMAP.md #10].
         if self._native_wav is not None and idxs and all(
             self.utts[i].synth_seed < 0
-            and self.utts[i].audio_path.endswith(".wav")
+            and self.utts[i].audio_path.endswith((".wav", ".flac"))
             for i in idxs
         ):
             try:

@@ -148,6 +148,12 @@ def load_audio(utt: Utterance, sample_rate: int = 16000) -> np.ndarray:
             if w.getnchannels() > 1:
                 data = data.reshape(-1, w.getnchannels()).mean(axis=1)
             return (data.astype(np.float32) / 32768.0).copy()
+    if utt.audio_path.endswith(".flac"):
+        # LibriSpeech's shipping format; decoded by the native C++ subset
+        # decoder (this image has no libFLAC/ffmpeg/soundfile).
+        from gluon_e2e_asr_tpu.utils.native import decode_flac
+
+        return decode_flac(utt.audio_path, sample_rate)
     if utt.audio_path.endswith(".npy"):
         return np.load(utt.audio_path).astype(np.float32)
     raise ValueError(f"unsupported audio format: {utt.audio_path!r}")
@@ -155,8 +161,9 @@ def load_audio(utt: Utterance, sample_rate: int = 16000) -> np.ndarray:
 
 def build_librispeech_manifest(root: str, split: str) -> List[Utterance]:
     """Walk a LibriSpeech split directory (``root/split/spk/chap/*.trans.txt``)
-    and build a manifest. Audio must be pre-converted to 16 kHz wav (this
-    image ships no flac decoder). [SURVEY.md §2.1 #1]"""
+    and build a manifest. Accepts the corpus as shipped (16 kHz ``.flac``,
+    decoded natively) as well as pre-converted ``.wav``/``.npy``.
+    [SURVEY.md §2.1 #1]"""
     utts: List[Utterance] = []
     split_dir = os.path.join(root, split)
     for dirpath, _, filenames in os.walk(split_dir):
@@ -166,7 +173,7 @@ def build_librispeech_manifest(root: str, split: str) -> List[Utterance]:
             with open(os.path.join(dirpath, fn)) as f:
                 for line in f:
                     utt_id, _, text = line.strip().partition(" ")
-                    for ext in (".wav", ".npy"):
+                    for ext in (".flac", ".wav", ".npy"):
                         ap = os.path.join(dirpath, utt_id + ext)
                         if os.path.exists(ap):
                             dur = _probe_duration(ap)
@@ -183,6 +190,11 @@ def _probe_duration(path: str, sample_rate: int = 16000) -> float:
     if path.endswith(".wav"):
         with wave.open(path, "rb") as w:
             return w.getnframes() / w.getframerate()
+    if path.endswith(".flac"):
+        from gluon_e2e_asr_tpu.utils.native import probe_flac
+
+        rate, frames = probe_flac(path)
+        return frames / rate if rate > 0 else 0.0
     if path.endswith(".npy"):
         return float(np.load(path, mmap_mode="r").shape[0]) / sample_rate
     return 0.0

@@ -94,7 +94,9 @@ def main(argv=None):
     else:
         decoder = make_greedy_decoder(model, config, cmvn_stats)
 
-    logger = JsonlLogger(out_path, also_stdout=False)
+    # "w": each decode run owns its output file — stale records from a
+    # previous run would silently pollute the fidelity harness goldens.
+    logger = JsonlLogger(out_path, also_stdout=False, mode="w")
     refs, hyps, latencies = [], [], []
     by_id = {u.utt_id: u for u in dev_utts}
     warmed = set()

@@ -15,6 +15,15 @@
 //                       bucket-shaped batch straight from disk, so the
 //                       real-corpus data path has no per-sample Python
 //                       [SURVEY.md §2.1 #1; docs/ROADMAP.md #10]
+//   * decode_flac_f32 / probe_flac — native FLAC decoder (the format
+//                       LibriSpeech actually ships in; this image has no
+//                       libFLAC/ffmpeg/soundfile). Full subset decoder:
+//                       constant/verbatim/fixed/LPC subframes, rice +
+//                       rice2 partitioned residuals w/ escapes, wasted
+//                       bits, all stereo decorrelation modes. The fused
+//                       batch loader dispatches on extension so a .flac
+//                       corpus feeds training with zero per-sample
+//                       Python [VERDICT.md round-1 item 2]
 //
 // Built as a shared library with g++ (no Rust in this image); loaded
 // from Python via ctypes (no pybind11 in this image).
@@ -219,6 +228,384 @@ int32_t decode_wav_impl(const char* path, int32_t expect_rate, float* out,
   return static_cast<int32_t>(frames);
 }
 
+// ---------------------------------------------------------------------------
+// FLAC decoding (subset decoder, no external deps)
+// ---------------------------------------------------------------------------
+//
+// Implements the full FLAC "streamable subset" decode path used by
+// LibriSpeech's 16-bit/16 kHz mono files, but without artificial format
+// limits: any bit depth 4..32, up to 8 channels, fixed + LPC predictors
+// of any order, 4- and 5-bit rice codes with escapes, wasted bits, and
+// left/right/mid-side decorrelation. CRCs are parsed but not verified
+// (the loader treats any structural failure as a hard error anyway).
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t acc = 0;  // low `nacc` bits hold pending data, MSB-first
+  int nacc = 0;
+  bool fail = false;
+
+  BitReader(const uint8_t* data, size_t n) : p(data), end(data + n) {}
+
+  uint32_t bits(int n) {  // n in [0, 32]
+    if (n == 0) return 0;
+    while (nacc < n) {
+      if (p >= end) {
+        fail = true;
+        return 0;
+      }
+      acc = (acc << 8) | *p++;
+      nacc += 8;
+    }
+    const uint32_t v =
+        static_cast<uint32_t>((acc >> (nacc - n)) & ((1ull << n) - 1));
+    nacc -= n;
+    return v;
+  }
+
+  int32_t sbits(int n) {  // sign-extended n-bit read
+    const uint32_t v = bits(n);
+    if (n == 0 || n == 32) return static_cast<int32_t>(v);
+    const uint32_t sign = 1u << (n - 1);
+    return static_cast<int32_t>((v ^ sign)) - static_cast<int32_t>(sign);
+  }
+
+  uint32_t unary() {  // count 0-bits up to and including the terminating 1
+    uint32_t q = 0;
+    for (;;) {
+      if (nacc == 0) {
+        if (p >= end) {
+          fail = true;
+          return 0;
+        }
+        acc = (acc << 8) | *p++;
+        nacc = 8;
+      }
+      const uint64_t window = acc & ((1ull << nacc) - 1);
+      if (window == 0) {
+        q += nacc;
+        nacc = 0;
+        continue;
+      }
+      const int hb = 63 - __builtin_clzll(window);  // highest set bit index
+      q += static_cast<uint32_t>(nacc - 1 - hb);
+      nacc = hb;  // consume the zeros and the terminating 1
+      return q;
+    }
+  }
+
+  void align_byte() { nacc -= nacc % 8; }
+};
+
+struct FlacInfo {
+  uint32_t sample_rate = 0;
+  uint32_t channels = 0;
+  uint32_t bps = 0;
+  uint64_t total_samples = 0;  // 0 = unknown
+  size_t frames_off = 0;       // byte offset of the first audio frame
+};
+
+// Parse "fLaC" + metadata blocks; fill stream info from STREAMINFO.
+bool parse_flac_meta(const uint8_t* d, size_t n, FlacInfo* info) {
+  if (n < 8 || std::memcmp(d, "fLaC", 4) != 0) return false;
+  size_t off = 4;
+  bool have_streaminfo = false;
+  for (;;) {
+    if (off + 4 > n) return false;
+    const bool last = (d[off] & 0x80) != 0;
+    const uint32_t type = d[off] & 0x7F;
+    const uint32_t len = (d[off + 1] << 16) | (d[off + 2] << 8) | d[off + 3];
+    off += 4;
+    if (off + len > n) return false;
+    if (type == 0 && len >= 34) {  // STREAMINFO
+      const uint8_t* s = d + off;
+      info->sample_rate = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4);
+      info->channels = ((s[12] >> 1) & 0x7) + 1;
+      info->bps = (((s[12] & 0x1) << 4) | (s[13] >> 4)) + 1;
+      info->total_samples = (static_cast<uint64_t>(s[13] & 0x0F) << 32) |
+                            (static_cast<uint64_t>(s[14]) << 24) |
+                            (s[15] << 16) | (s[16] << 8) | s[17];
+      have_streaminfo = true;
+    }
+    off += len;
+    if (last) break;
+  }
+  info->frames_off = off;
+  return have_streaminfo && info->sample_rate > 0 && info->channels >= 1 &&
+         info->channels <= 8 && info->bps >= 4 && info->bps <= 32;
+}
+
+// Decode one subframe (block_size samples) into out[]. Returns false on
+// malformed input. `bps` already includes the +1 side-channel bit.
+bool decode_subframe(BitReader& br, uint32_t block_size, uint32_t bps,
+                     int64_t* out) {
+  if (br.bits(1) != 0) return false;  // mandatory zero pad bit
+  const uint32_t type = br.bits(6);
+  uint32_t wasted = 0;
+  if (br.bits(1)) wasted = br.unary() + 1;
+  if (br.fail || wasted >= bps) return false;
+  const uint32_t ebps = bps - wasted;  // effective sample bit depth
+
+  uint32_t order = 0;
+  bool is_fixed = false, is_lpc = false;
+  if (type == 0) {  // CONSTANT
+    const int32_t v = br.sbits(ebps);
+    for (uint32_t i = 0; i < block_size; ++i) out[i] = v;
+  } else if (type == 1) {  // VERBATIM
+    for (uint32_t i = 0; i < block_size; ++i) out[i] = br.sbits(ebps);
+  } else if (type >= 8 && type <= 12) {
+    is_fixed = true;
+    order = type - 8;
+  } else if (type >= 32) {
+    is_lpc = true;
+    order = type - 31;
+  } else {
+    return false;  // reserved type codes
+  }
+
+  int32_t qlp[32];
+  int qshift = 0;
+  if (is_fixed || is_lpc) {
+    if (order > block_size) return false;
+    for (uint32_t i = 0; i < order; ++i) out[i] = br.sbits(ebps);  // warmup
+    if (is_lpc) {
+      const uint32_t prec = br.bits(4) + 1;
+      if (prec == 16) return false;  // 0b1111 is invalid
+      qshift = br.sbits(5);
+      if (qshift < 0) return false;  // negative shift is spec-invalid
+      for (uint32_t i = 0; i < order; ++i) qlp[i] = br.sbits(prec);
+    }
+    // Partitioned rice residual.
+    const uint32_t method = br.bits(2);
+    if (method > 1) return false;
+    const uint32_t pbits = method == 0 ? 4 : 5;
+    const uint32_t escape = method == 0 ? 0xF : 0x1F;
+    const uint32_t porder = br.bits(4);
+    const uint32_t nparts = 1u << porder;
+    if (block_size % nparts != 0) return false;
+    const uint32_t psize = block_size >> porder;
+    if (psize < order) return false;  // first partition would go negative
+    uint32_t idx = order;
+    for (uint32_t part = 0; part < nparts; ++part) {
+      const uint32_t count = psize - (part == 0 ? order : 0);
+      if (static_cast<uint64_t>(idx) + count > block_size) return false;
+      const uint32_t param = br.bits(pbits);
+      if (param == escape) {
+        const uint32_t raw = br.bits(5);
+        for (uint32_t i = 0; i < count; ++i)
+          out[idx++] = raw ? br.sbits(raw) : 0;
+      } else {
+        for (uint32_t i = 0; i < count; ++i) {
+          const uint32_t q = br.unary();
+          const uint32_t r = param ? br.bits(param) : 0;
+          const uint64_t u = (static_cast<uint64_t>(q) << param) | r;
+          out[idx++] = static_cast<int64_t>(u >> 1) ^
+                       -static_cast<int64_t>(u & 1);  // zigzag
+        }
+      }
+      if (br.fail) return false;
+    }
+    // Predictor reconstruction (residuals currently in out[order..]).
+    if (is_fixed) {
+      switch (order) {
+        case 0:
+          break;
+        case 1:
+          for (uint32_t i = 1; i < block_size; ++i) out[i] += out[i - 1];
+          break;
+        case 2:
+          for (uint32_t i = 2; i < block_size; ++i)
+            out[i] += 2 * out[i - 1] - out[i - 2];
+          break;
+        case 3:
+          for (uint32_t i = 3; i < block_size; ++i)
+            out[i] += 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3];
+          break;
+        case 4:
+          for (uint32_t i = 4; i < block_size; ++i)
+            out[i] += 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] -
+                      out[i - 4];
+          break;
+        default:
+          return false;
+      }
+    } else {
+      for (uint32_t i = order; i < block_size; ++i) {
+        int64_t acc = 0;
+        for (uint32_t j = 0; j < order; ++j)
+          acc += static_cast<int64_t>(qlp[j]) * out[i - 1 - j];
+        out[i] += acc >> qshift;
+      }
+    }
+  }
+  if (wasted)
+    for (uint32_t i = 0; i < block_size; ++i) out[i] <<= wasted;
+  return !br.fail;
+}
+
+// Decode one frame; writes per-channel samples to ch[c][0..block). Returns
+// the block size, 0 on clean EOF (no more sync), -1 on malformed input.
+int32_t decode_flac_frame(BitReader& br, const FlacInfo& si,
+                          std::vector<std::vector<int64_t>>& ch) {
+  br.align_byte();
+  // EOF detection: a clean stream ends exactly at the last frame boundary.
+  if (br.p >= br.end && br.nacc < 8) return 0;
+  const uint32_t sync = br.bits(14);
+  if (br.fail) return 0;  // trailing padding-free EOF mid-fill
+  if (sync != 0x3FFE) return -1;
+  br.bits(1);  // reserved
+  br.bits(1);  // blocking strategy
+  const uint32_t bs_code = br.bits(4);
+  const uint32_t sr_code = br.bits(4);
+  const uint32_t ch_code = br.bits(4);
+  const uint32_t ss_code = br.bits(3);
+  br.bits(1);  // reserved
+  // UTF-8 coded frame/sample number: skip.
+  {
+    const uint32_t b0 = br.bits(8);
+    int extra = 0;
+    for (uint32_t m = 0x80; b0 & m; m >>= 1) ++extra;
+    if (extra == 1 || extra > 7) return -1;
+    for (int i = 1; i < extra; ++i) br.bits(8);
+  }
+  uint32_t block_size = 0;
+  switch (bs_code) {
+    case 0: return -1;
+    case 1: block_size = 192; break;
+    case 6: block_size = br.bits(8) + 1; break;
+    case 7: block_size = br.bits(16) + 1; break;
+    default:
+      block_size = bs_code <= 5 ? 576u << (bs_code - 2)
+                                : 256u << (bs_code - 8);
+  }
+  if (sr_code == 12) br.bits(8);
+  else if (sr_code == 13 || sr_code == 14) br.bits(16);
+  else if (sr_code == 15) return -1;
+  uint32_t bps = si.bps;
+  switch (ss_code) {
+    case 0: break;
+    case 1: bps = 8; break;
+    case 2: bps = 12; break;
+    case 4: bps = 16; break;
+    case 5: bps = 20; break;
+    case 6: bps = 24; break;
+    case 7: bps = 32; break;
+    default: return -1;
+  }
+  br.bits(8);  // CRC-8 (unverified)
+  if (br.fail) return -1;
+
+  uint32_t nch = 0;
+  enum { INDEP, LEFT_SIDE, RIGHT_SIDE, MID_SIDE } mode = INDEP;
+  if (ch_code < 8) {
+    nch = ch_code + 1;
+  } else if (ch_code == 8) {
+    nch = 2; mode = LEFT_SIDE;
+  } else if (ch_code == 9) {
+    nch = 2; mode = RIGHT_SIDE;
+  } else if (ch_code == 10) {
+    nch = 2; mode = MID_SIDE;
+  } else {
+    return -1;
+  }
+  if (nch != si.channels || block_size == 0 || block_size > 65536) return -1;
+
+  for (uint32_t c = 0; c < nch; ++c) {
+    if (ch[c].size() < block_size) ch[c].resize(block_size);
+    uint32_t sub_bps = bps;
+    if ((mode == LEFT_SIDE && c == 1) || (mode == RIGHT_SIDE && c == 0) ||
+        (mode == MID_SIDE && c == 1))
+      sub_bps += 1;  // side channel carries one extra bit
+    if (!decode_subframe(br, block_size, sub_bps, ch[c].data())) return -1;
+  }
+  br.align_byte();
+  br.bits(16);  // CRC-16 (unverified)
+  if (br.fail) return -1;
+
+  if (mode == LEFT_SIDE) {
+    for (uint32_t i = 0; i < block_size; ++i) ch[1][i] = ch[0][i] - ch[1][i];
+  } else if (mode == RIGHT_SIDE) {
+    for (uint32_t i = 0; i < block_size; ++i) ch[0][i] = ch[1][i] + ch[0][i];
+  } else if (mode == MID_SIDE) {
+    for (uint32_t i = 0; i < block_size; ++i) {
+      const int64_t side = ch[1][i];
+      const int64_t mid = (ch[0][i] << 1) | (side & 1);
+      ch[0][i] = (mid + side) >> 1;
+      ch[1][i] = (mid - side) >> 1;
+    }
+  }
+  return static_cast<int32_t>(block_size);
+}
+
+// Read a whole file into memory. FLAC inputs here are utterance-sized
+// (LibriSpeech: ~1 MB); buffering beats seek-heavy bit IO.
+bool read_file(const char* path, std::vector<uint8_t>* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  const long sz = std::ftell(f);
+  if (sz < 0) {
+    std::fclose(f);
+    return false;
+  }
+  std::fseek(f, 0, SEEK_SET);
+  out->resize(static_cast<size_t>(sz));
+  const bool ok = sz == 0 || read_exact(f, out->data(), out->size());
+  std::fclose(f);
+  return ok;
+}
+
+// Decode up to max_samples mono frames into out. Returns frames written,
+// or a negative error: -1 open, -2 malformed/unsupported, -3 rate mismatch.
+int32_t decode_flac_impl(const char* path, int32_t expect_rate, float* out,
+                         int32_t max_samples) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, &buf)) return -1;
+  FlacInfo si;
+  if (!parse_flac_meta(buf.data(), buf.size(), &si)) return -2;
+  if (expect_rate > 0 && si.sample_rate != static_cast<uint32_t>(expect_rate))
+    return -3;
+  BitReader br(buf.data() + si.frames_off, buf.size() - si.frames_off);
+  std::vector<std::vector<int64_t>> ch(si.channels);
+  const float scale =
+      1.0f / static_cast<float>(1ull << (si.bps - 1));
+  const float cinv = 1.0f / static_cast<float>(si.channels);
+  int32_t written = 0;
+  while (written < max_samples) {
+    const int32_t block = decode_flac_frame(br, si, ch);
+    if (block == 0) break;
+    if (block < 0) return -2;
+    const int32_t take =
+        std::min<int32_t>(block, max_samples - written);
+    if (si.channels == 1) {
+      for (int32_t i = 0; i < take; ++i)
+        out[written + i] = static_cast<float>(ch[0][i]) * scale;
+    } else {
+      for (int32_t i = 0; i < take; ++i) {
+        int64_t acc = 0;
+        for (uint32_t c = 0; c < si.channels; ++c) acc += ch[c][i];
+        out[written + i] = static_cast<float>(acc) * cinv * scale;
+      }
+    }
+    written += take;
+  }
+  return written;
+}
+
+// Extension dispatch shared by the single-file and fused-batch loaders.
+bool path_is_flac(const char* path) {
+  const size_t n = std::strlen(path);
+  return n >= 5 && std::strcmp(path + n - 5, ".flac") == 0;
+}
+
+int32_t decode_audio_impl(const char* path, int32_t expect_rate, float* out,
+                          int32_t max_samples) {
+  return path_is_flac(path)
+             ? decode_flac_impl(path, expect_rate, out, max_samples)
+             : decode_wav_impl(path, expect_rate, out, max_samples);
+}
+
 }  // namespace
 
 extern "C" {
@@ -226,6 +613,23 @@ extern "C" {
 int32_t decode_wav_f32(const char* path, int32_t expect_rate, float* out,
                        int32_t max_samples) {
   return decode_wav_impl(path, expect_rate, out, max_samples);
+}
+
+int32_t decode_flac_f32(const char* path, int32_t expect_rate, float* out,
+                        int32_t max_samples) {
+  return decode_flac_impl(path, expect_rate, out, max_samples);
+}
+
+// Probe FLAC sample rate + total frame count from STREAMINFO.
+// Returns 0 on success, negative error codes as decode_flac_f32.
+int32_t probe_flac(const char* path, int32_t* out_rate, int64_t* out_frames) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, &buf)) return -1;
+  FlacInfo si;
+  if (!parse_flac_meta(buf.data(), buf.size(), &si)) return -2;
+  *out_rate = static_cast<int32_t>(si.sample_rate);
+  *out_frames = static_cast<int64_t>(si.total_samples);
+  return 0;
 }
 
 // Probe sample rate + frame count without reading the payload.
@@ -248,13 +652,14 @@ int32_t probe_wav(const char* path, int32_t* out_rate, int64_t* out_frames) {
 }
 
 // Fused read+decode+pack: fill out_audio[batch, max_samples] (zero padded)
-// straight from n wav files, multi-threaded. Rows n..batch-1 are pad rows.
+// straight from n audio files (wav or flac, per-path extension dispatch),
+// multi-threaded. Rows n..batch-1 are pad rows.
 // Per-row status lands in out_lens[i]: >= 0 sample count, < 0 error code.
 // Returns 0 if every row decoded, else the first negative error code.
-int32_t load_pack_wav_batch(const char** paths, int32_t n,
-                            int32_t expect_rate, int32_t max_samples,
-                            int32_t batch, float* out_audio,
-                            int32_t* out_lens, int32_t nthreads) {
+int32_t load_pack_audio_batch(const char** paths, int32_t n,
+                              int32_t expect_rate, int32_t max_samples,
+                              int32_t batch, float* out_audio,
+                              int32_t* out_lens, int32_t nthreads) {
   std::memset(out_audio, 0,
               sizeof(float) * static_cast<size_t>(batch) * max_samples);
   std::memset(out_lens, 0, sizeof(int32_t) * batch);
@@ -264,7 +669,7 @@ int32_t load_pack_wav_batch(const char** paths, int32_t n,
     for (;;) {
       const int32_t i = next.fetch_add(1);
       if (i >= rows) return;
-      const int32_t got = decode_wav_impl(
+      const int32_t got = decode_audio_impl(
           paths[i], expect_rate,
           out_audio + static_cast<size_t>(i) * max_samples, max_samples);
       out_lens[i] = got;
@@ -283,6 +688,15 @@ int32_t load_pack_wav_batch(const char** paths, int32_t n,
   for (int32_t i = 0; i < rows; ++i)
     if (out_lens[i] < 0) return out_lens[i];
   return 0;
+}
+
+// Backward-compatible alias (pre-FLAC name; wav paths behave identically).
+int32_t load_pack_wav_batch(const char** paths, int32_t n,
+                            int32_t expect_rate, int32_t max_samples,
+                            int32_t batch, float* out_audio,
+                            int32_t* out_lens, int32_t nthreads) {
+  return load_pack_audio_batch(paths, n, expect_rate, max_samples, batch,
+                               out_audio, out_lens, nthreads);
 }
 
 }  // extern "C"

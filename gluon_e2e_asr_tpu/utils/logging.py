@@ -16,13 +16,14 @@ from typing import Any, Dict, Optional
 
 
 class JsonlLogger:
-    def __init__(self, path: Optional[str] = None, also_stdout: bool = True):
+    def __init__(self, path: Optional[str] = None, also_stdout: bool = True,
+                 mode: str = "a"):
         self.path = path
         self.also_stdout = also_stdout
         self._fh = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            self._fh = open(path, "a", buffering=1)
+            self._fh = open(path, mode, buffering=1)
 
     def log(self, record: Dict[str, Any]) -> None:
         record = dict(record)

@@ -159,7 +159,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.probe_wav.restype = ctypes.c_int32
-        lib.load_pack_wav_batch.argtypes = [
+        lib.decode_flac_f32.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
+        lib.decode_flac_f32.restype = ctypes.c_int32
+        lib.probe_flac.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.probe_flac.restype = ctypes.c_int32
+        batch_sig = [
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int32,
             ctypes.c_int32,
@@ -169,6 +182,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
+        lib.load_pack_audio_batch.argtypes = batch_sig
+        lib.load_pack_audio_batch.restype = ctypes.c_int32
+        lib.load_pack_wav_batch.argtypes = batch_sig
         lib.load_pack_wav_batch.restype = ctypes.c_int32
         _lib = lib
         return _lib
@@ -228,11 +244,52 @@ def decode_wav(path: str, expect_rate: int = 16000,
     return out[:got]
 
 
-def load_pack_wav_batch(
+def decode_flac(path: str, expect_rate: int = 16000,
+                max_samples: int = 16000 * 60 * 10) -> np.ndarray:
+    """Decode a FLAC file to mono float32 via the native subset decoder.
+
+    Raises on open/format/rate errors (no Python-side FLAC fallback
+    exists — the native lib is the only decoder in this image).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    rate = ctypes.c_int32(0)
+    frames = ctypes.c_int64(0)
+    rc = lib.probe_flac(path.encode(), ctypes.byref(rate),
+                        ctypes.byref(frames))
+    if rc != 0:
+        raise ValueError(f"probe_flac({path!r}) failed: rc={rc}")
+    n = int(min(frames.value, max_samples)) if frames.value > 0 else max_samples
+    out = np.empty((n,), np.float32)
+    got = lib.decode_flac_f32(
+        path.encode(), expect_rate,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+    )
+    if got < 0:
+        raise ValueError(f"decode_flac_f32({path!r}) failed: rc={got}")
+    return out[:got]
+
+
+def probe_flac(path: str) -> Tuple[int, int]:
+    """Return (sample_rate, total_frames) from a FLAC STREAMINFO block."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    rate = ctypes.c_int32(0)
+    frames = ctypes.c_int64(0)
+    rc = lib.probe_flac(path.encode(), ctypes.byref(rate),
+                        ctypes.byref(frames))
+    if rc != 0:
+        raise ValueError(f"probe_flac({path!r}) failed: rc={rc}")
+    return int(rate.value), int(frames.value)
+
+
+def load_pack_audio_batch(
     paths: Sequence[str], expect_rate: int, max_samples: int,
     batch_size: int, nthreads: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Fused native read+decode+pack of wav files into a bucket batch.
+    """Fused native read+decode+pack of wav/flac files into a bucket batch.
 
     Returns (audio [batch, max_samples] float32, lens [batch] int32).
     Raises on any per-file decode error (caller falls back to Python).
@@ -244,15 +301,19 @@ def load_pack_wav_batch(
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     out_audio = np.empty((batch_size, max_samples), np.float32)
     out_lens = np.empty((batch_size,), np.int32)
-    rc = lib.load_pack_wav_batch(
+    rc = lib.load_pack_audio_batch(
         arr, n, expect_rate, max_samples, batch_size,
         out_audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         nthreads,
     )
     if rc != 0:
-        raise ValueError(f"load_pack_wav_batch failed: rc={rc}")
+        raise ValueError(f"load_pack_audio_batch failed: rc={rc}")
     return out_audio, out_lens
+
+
+# Backward-compatible alias (pre-FLAC name).
+load_pack_wav_batch = load_pack_audio_batch
 
 
 def edit_distance_native(ref: List[str], hyp: List[str]) -> int:
