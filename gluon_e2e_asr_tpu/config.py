@@ -38,6 +38,11 @@ class DataConfig:
     max_label_len: int = 320
     shuffle: bool = True
     drop_last: bool = False
+    # Host/device overlap: batches ahead to assemble in a background
+    # thread while the device steps (0 = synchronous). On an on-disk
+    # corpus the C++ read+decode+pack otherwise serializes with the step
+    # [VERDICT.md round-1 item 4 "host/device overlap"].
+    prefetch_depth: int = 2
 
 
 @dataclass

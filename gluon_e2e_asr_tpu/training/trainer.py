@@ -221,55 +221,57 @@ class Trainer:
             window_t0, window_utts, window_tokens = time.perf_counter(), 0, 0
             skip = self.skip_batches if epoch == self.epoch0 else 0
             stopped_at = -1
-            for batch_idx, (bucket, idxs) in enumerate(
-                self.sampler.epoch_batches(epoch)
-            ):
-                if batch_idx < skip:
-                    # resume fast-forward: skip without building the batch
-                    continue
-                b = self.loader.make_batch(bucket, idxs)
-                if 0 < tc.max_steps <= step:
-                    stopped_at = batch_idx
-                    break
-                if tc.profile_dir and step == tc.profile_start_step:
-                    jax.profiler.start_trace(tc.profile_dir)
-                    profiling = True
-                batch = self._device_batch(b)
-                self.state, metrics = self.train_step(self.state, batch)
-                step += 1
-                if profiling and step >= tc.profile_start_step + tc.profile_num_steps:
-                    jax.block_until_ready(self.state.params)
-                    jax.profiler.stop_trace()
-                    profiling = False
-                utts_done += b.num_real
-                window_utts += b.num_real
-                window_tokens += int(b.label_len.sum())
-                tokens_done += int(b.label_len.sum())
-                if step % tc.log_every_steps == 0:
-                    metrics = jax.device_get(metrics)
-                    dt = time.perf_counter() - window_t0
-                    rec = {
-                        "event": "train",
-                        "step": step,
-                        "epoch": epoch,
-                        "bucket": b.bucket,
-                        "loss": round(float(metrics["loss"]), 5),
-                        "loss_ctc": round(float(metrics["loss_ctc"]), 5),
-                        "loss_att": round(float(metrics["loss_att"]), 5),
-                        "att_acc": round(float(metrics["att_acc"]), 4),
-                        "grad_norm": round(float(metrics["grad_norm"]), 4),
-                        "utt_per_sec_per_chip": round(
-                            window_utts / max(dt, 1e-9) / self.n_chips, 2
-                        ),
-                        "tokens_per_sec": round(
-                            window_tokens / max(dt, 1e-9), 1
-                        ),
-                    }
-                    self.logger.log(rec)
-                    window_t0, window_utts, window_tokens = (
-                        time.perf_counter(), 0, 0)
-                if tc.ckpt_every_steps and step % tc.ckpt_every_steps == 0:
-                    self._checkpoint(epoch, None, batches_done=batch_idx + 1)
+            # Batches assemble in a background thread while the device
+            # steps; resume fast-forward happens inside prefetch_epoch
+            # (skipped batches are never built).
+            prefetch = self.loader.prefetch_epoch(
+                epoch, skip=skip, depth=cfg.data.prefetch_depth)
+            try:
+                for batch_idx, b in prefetch:
+                    if 0 < tc.max_steps <= step:
+                        stopped_at = batch_idx
+                        break
+                    if tc.profile_dir and step == tc.profile_start_step:
+                        jax.profiler.start_trace(tc.profile_dir)
+                        profiling = True
+                    batch = self._device_batch(b)
+                    self.state, metrics = self.train_step(self.state, batch)
+                    step += 1
+                    if profiling and step >= tc.profile_start_step + tc.profile_num_steps:
+                        jax.block_until_ready(self.state.params)
+                        jax.profiler.stop_trace()
+                        profiling = False
+                    utts_done += b.num_real
+                    window_utts += b.num_real
+                    window_tokens += int(b.label_len.sum())
+                    tokens_done += int(b.label_len.sum())
+                    if step % tc.log_every_steps == 0:
+                        metrics = jax.device_get(metrics)
+                        dt = time.perf_counter() - window_t0
+                        rec = {
+                            "event": "train",
+                            "step": step,
+                            "epoch": epoch,
+                            "bucket": b.bucket,
+                            "loss": round(float(metrics["loss"]), 5),
+                            "loss_ctc": round(float(metrics["loss_ctc"]), 5),
+                            "loss_att": round(float(metrics["loss_att"]), 5),
+                            "att_acc": round(float(metrics["att_acc"]), 4),
+                            "grad_norm": round(float(metrics["grad_norm"]), 4),
+                            "utt_per_sec_per_chip": round(
+                                window_utts / max(dt, 1e-9) / self.n_chips, 2
+                            ),
+                            "tokens_per_sec": round(
+                                window_tokens / max(dt, 1e-9), 1
+                            ),
+                        }
+                        self.logger.log(rec)
+                        window_t0, window_utts, window_tokens = (
+                            time.perf_counter(), 0, 0)
+                    if tc.ckpt_every_steps and step % tc.ckpt_every_steps == 0:
+                        self._checkpoint(epoch, None, batches_done=batch_idx + 1)
+            finally:
+                prefetch.close()
             if stopped_at >= 0:
                 # max_steps hit mid-epoch: checkpoint with the resume
                 # position instead of marking the epoch complete.

@@ -1,5 +1,14 @@
 #!/usr/bin/env bash
-# CI entry: full test suite on CPU (8 virtual devices for mesh tests).
+# CI entry: CPU test suite (8 virtual devices for mesh tests).
+#
+# Default tier skips @pytest.mark.slow tests and finishes in ~5 min on
+# this box; `scripts/ci.sh --all` runs the full suite (~23 min).
+# Any other arguments pass through to pytest.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-python -m pytest tests/ -q "$@"
+if [[ "${1:-}" == "--all" ]]; then
+  shift
+  python -m pytest tests/ -q "$@"
+else
+  python -m pytest tests/ -q -m "not slow" "$@"
+fi

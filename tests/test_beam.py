@@ -131,6 +131,7 @@ def _tiny_model_setup(seed=0):
     return cfg, tok, model, state, audio, audio_len
 
 
+@pytest.mark.slow
 def test_beam_decoder_runs_and_is_valid():
     cfg, tok, model, state, audio, audio_len = _tiny_model_setup()
     decode = make_beam_decoder(model, cfg, tok)
@@ -205,6 +206,7 @@ def test_beam_k1_att_only_matches_greedy_att():
 # Partial (candidate-restricted) CTC prefix scoring [VERDICT.md weak #6]
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_partial_scoring_matches_full_when_candidates_cover_vocab():
     """With ctc_score_candidates >= every usable token, partial scoring
     restricts nothing, so hypotheses and scores must match full-vocab
@@ -266,6 +268,7 @@ def _big_vocab_setup(n_cand):
     return cfg, tok, model, state, audio, audio_len
 
 
+@pytest.mark.slow
 def test_partial_scoring_handles_bpe_sized_vocab():
     """V=1000 decodes through the candidate-restricted prefix state
     [T,B,K,N,2] without materializing the [T,B,K,V,2] full state."""

@@ -115,6 +115,7 @@ def test_grad_vs_finite_differences():
             np.testing.assert_allclose(grad[0, t, v], fd, rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_grad_vs_optax_grad():
     rng = np.random.RandomState(3)
     B, T, V, L = 2, 10, 5, 3

@@ -6,6 +6,7 @@ import numpy as np
 from gluon_e2e_asr_tpu.config import Config, DataConfig, LossConfig, ModelConfig, TrainConfig
 from gluon_e2e_asr_tpu.data.manifest import build_synthetic_manifest
 from gluon_e2e_asr_tpu.data.sampler import BucketSampler, make_bucket_specs
+import pytest
 
 
 def test_dynamic_batch_scaling():
@@ -17,6 +18,7 @@ def test_dynamic_batch_scaling():
     assert specs[1].batch_size == 8 * 2
 
 
+@pytest.mark.slow
 def test_dynamic_batch_through_trainer(tmp_path):
     from gluon_e2e_asr_tpu.training.trainer import Trainer
 

@@ -7,8 +7,10 @@ import numpy as np
 
 from gluon_e2e_asr_tpu.config import ModelConfig
 from gluon_e2e_asr_tpu.models.encoder import BiLSTMEncoder
+import pytest
 
 
+@pytest.mark.slow
 def test_encoder_impl_parity():
     rng = np.random.RandomState(0)
     feats = jnp.asarray(rng.randn(2, 37, 8).astype(np.float32))

@@ -54,6 +54,7 @@ def tiny_config(workdir: str, mtl_alpha=1.0, epochs=350, **kw) -> Config:
     return cfg
 
 
+@pytest.mark.slow
 def test_overfit_ctc(tmp_path):
     """BiLSTM+CTC overfits 8 synthetic utterances -> exact greedy
     transcripts [SURVEY.md §4 'Integration: overfit']."""
@@ -69,6 +70,7 @@ def test_overfit_ctc(tmp_path):
     assert final["dev_wer"] <= 0.25, final
 
 
+@pytest.mark.slow
 def test_ckpt_resume_bitwise(tmp_path):
     """Resume from checkpoint reproduces params bitwise
     [SURVEY.md §4 'Integration: e2e']."""
@@ -98,6 +100,7 @@ def test_ckpt_resume_bitwise(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_train_decode_cli(tmp_path):
     """The public train/decode CLI end to end [BASELINE.json:L5]."""
     import yaml

@@ -40,6 +40,7 @@ def test_config_loads(path):
         assert cfg.decode.length_norm
 
 
+@pytest.mark.slow
 def test_trainer_beam_eval_path(tmp_path):
     """Pure-attention config evaluates dev WER via the att-only beam."""
     from gluon_e2e_asr_tpu.config import (

@@ -52,7 +52,7 @@ def _fused_args(cfg, p, enc, enc_len, tokens, coins_bl):
             p["out_w"], p["out_b"])
 
 
-@pytest.mark.parametrize("att_type", ["loc", "add", "dot"])
+@pytest.mark.parametrize("att_type", [pytest.param("loc", marks=pytest.mark.slow), "add", "dot"])
 def test_fwd_matches_scan(att_type):
     cfg, dec, variables, enc, enc_len, tokens = _setup(att_type)
     ref = dec.apply(variables, enc, enc_len, tokens, 0.0, None)
@@ -74,7 +74,7 @@ def test_fwd_matches_scan(att_type):
     np.testing.assert_array_equal(np.asarray(tok_seq), np.asarray(tokens))
 
 
-@pytest.mark.parametrize("att_type", ["loc", "add", "dot"])
+@pytest.mark.parametrize("att_type", [pytest.param("loc", marks=pytest.mark.slow), "add", "dot"])
 def test_scheduled_sampling_matches_stepwise(att_type):
     """Argmax feedback in-kernel == an explicit step loop with the same
     coins [SURVEY.md §2.1 #12]."""
@@ -108,7 +108,7 @@ def test_scheduled_sampling_matches_stepwise(att_type):
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("att_type", ["loc", "add", "dot"])
+@pytest.mark.parametrize("att_type", [pytest.param("loc", marks=pytest.mark.slow), "add", "dot"])
 def test_grads_match_scan_autodiff(att_type):
     """custom_vjp backward kernel == autodiff through the scan path, for
     every parameter (incl. loc_filter via the band gather and att_k via
@@ -160,6 +160,7 @@ def test_model_level_dispatch():
     assert out3.shape == (B, L, V)
 
 
+@pytest.mark.slow
 def test_train_step_with_fused_decoder():
     """End-to-end: a hybrid train step with dec_impl=pallas matches the
     scan-decoder step on a deterministic config."""

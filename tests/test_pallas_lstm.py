@@ -39,6 +39,7 @@ def test_forward_parity_unaligned_T():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradient_parity():
     xg_f, xg_b, lens, w_hf, w_hb = _inputs(T=10)
     tgt = jnp.asarray(
@@ -75,6 +76,7 @@ def test_gradient_masking():
     assert np.abs(g[1, :4]).sum() > 0
 
 
+@pytest.mark.slow
 def test_fused_zero_and_full_lengths():
     """bilstm_fused handles len=0 rows (all-zero outputs, zero grads) and
     len=T rows exactly like the scan path — guards the no-per-step-valid

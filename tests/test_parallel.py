@@ -70,6 +70,7 @@ def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dp_grads_match_single_device():
     cfg, model, tx, state, batch = _setup()
     rng = jax.random.PRNGKey(42)
@@ -94,6 +95,7 @@ def test_dp_grads_match_single_device():
         np.testing.assert_allclose(a, b_, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_and_matches():
     cfg, model, tx, state, batch = _setup()
     cfg.train.dp_impl = "pjit"  # global-view program: same PRNG draws as 1-dev
@@ -115,6 +117,7 @@ def test_dp_train_step_runs_and_matches():
         np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dp_with_pallas_lstm_matches_single_device():
     """The Pallas BiLSTM kernel composes with pjit batch sharding: XLA
     partitions around the custom call and the result matches exactly."""
@@ -168,6 +171,7 @@ def test_shard_map_step_matches_single_device():
         np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_shard_map_step_stochastic_runs():
     """With SpecAugment on, each shard folds axis_index into its step key
     (distinct draws per shard — PRNG discipline [SURVEY.md §5]); the step
@@ -184,6 +188,7 @@ def test_shard_map_step_stochastic_runs():
     assert np.isfinite(float(m2["loss"]))
 
 
+@pytest.mark.slow
 def test_shard_map_with_pallas_lstm_matches_single_device():
     """The Pallas BiLSTM kernel runs shard-local under shard_map (the
     whole point of dp_impl=shard_map: no XLA all-gather around the
@@ -219,6 +224,7 @@ def test_batch_sharding_layout():
     assert arr.addressable_shards[0].data.shape == (1, 16)
 
 
+@pytest.mark.slow
 def test_shard_map_with_both_pallas_kernels_matches_single_device():
     """shard_map DP with BOTH fused kernels (Pallas BiLSTM + Pallas
     decoder) stays shard-local and matches the single-device step — the

@@ -9,6 +9,8 @@ import numpy as np
 from gluon_e2e_asr_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
 from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
 from gluon_e2e_asr_tpu.models.asr import build_model
+import pytest
+
 from gluon_e2e_asr_tpu.training.train_step import (
     create_train_state,
     make_optimizer,
@@ -37,6 +39,7 @@ def _setup():
     return state, step, batch
 
 
+@pytest.mark.slow
 def test_rng_advances_every_step():
     state, step, batch = _setup()
     dev = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -49,6 +52,7 @@ def test_rng_advances_every_step():
             assert not np.array_equal(keys[i], keys[j]), (i, j)
 
 
+@pytest.mark.slow
 def test_same_seed_same_losses():
     losses = []
     for _ in range(2):

@@ -10,6 +10,7 @@ import numpy as np
 
 from gluon_e2e_asr_tpu.config import Config, DataConfig, LossConfig, ModelConfig, TrainConfig
 from gluon_e2e_asr_tpu.training.trainer import Trainer
+import pytest
 
 
 def _cfg(workdir, max_steps=-1, ckpt_every=0):
@@ -36,6 +37,7 @@ def _params(t):
     return jax.tree_util.tree_leaves(jax.device_get(t.state.params))
 
 
+@pytest.mark.slow
 def test_midepoch_crash_resume_reproduces_run(tmp_path):
     # Uninterrupted reference run: 2 epochs x 4 batches = 8 steps.
     w_ref = tmp_path / "ref"
@@ -64,6 +66,7 @@ def test_midepoch_crash_resume_reproduces_run(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_periodic_ckpt_resume(tmp_path):
     w = tmp_path / "p"
     w.mkdir()

@@ -40,6 +40,7 @@ def _cfg(**model_kw):
     )
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     """Rematerialized encoder produces identical loss and gradients."""
     batch = _batch()
@@ -62,6 +63,7 @@ def test_remat_matches_no_remat():
 
 
 @pytest.mark.parametrize("lstm_impl", ["scan", "pallas"])
+@pytest.mark.slow
 def test_bfloat16_compute_dtype_trains(lstm_impl):
     """compute_dtype=bfloat16 (MXU path) runs and yields finite loss close
     to the fp32 loss, for both LSTM implementations (bf16 streams)."""
@@ -80,6 +82,7 @@ def test_bfloat16_compute_dtype_trains(lstm_impl):
     assert abs(losses["bfloat16"] - losses["float32"]) < 0.2, losses
 
 
+@pytest.mark.slow
 def test_profiler_trace_writes_files(tmp_path):
     """jax.profiler trace gating [SURVEY.md §5 tracing]."""
     from gluon_e2e_asr_tpu.training.trainer import Trainer
@@ -103,6 +106,7 @@ def test_profiler_trace_writes_files(tmp_path):
     assert traces, "no trace files written"
 
 
+@pytest.mark.slow
 def test_sgd_optimizer():
     batch = _batch()
     tok = CharTokenizer()
@@ -138,6 +142,7 @@ def test_cli_set_overrides():
         apply_overrides(c, ["model.att_type"])
 
 
+@pytest.mark.slow
 def test_scheduled_sampling_ramp():
     """The sampling-ratio ramp [SURVEY.md §2.1 #12]: with a warmup, the
     effective scheduled-sampling probability is 0 at step 0 (loss equals
