@@ -49,7 +49,8 @@ from gluon_e2e_asr_tpu.frontend.features import (
     spec_augment,
 )
 
-FRAME_CHUNK = 256  # frames per inner iteration (multiple of 8)
+import os
+FRAME_CHUNK = int(os.environ.get("GLUON_FE_CHUNK", "256"))  # frames per inner iteration (multiple of 8)
 
 
 def _kernel(
@@ -60,8 +61,7 @@ def _kernel(
     a1_ref,  # [1, FP, hop]
     a2_ref,  # [1, FP, hop]
     a3_ref,  # [1, FP, hop]
-    win_cos_ref,  # [win, n_freq] (window pre-multiplied)
-    win_sin_ref,  # [win, n_freq]
+    basis_ref,  # [win, 2*n_freq]: window-folded (cos | sin), split by hop
     mel_ref,  # [n_freq, M]
     cmvn_ref,  # [2, M]: (mean, std) for cmvn_mode == "global"
     # output
@@ -82,21 +82,25 @@ def _kernel(
     FP = out_ref.shape[1]
     n_chunks = FP // FRAME_CHUNK
     rem = win - 2 * hop
+    n_freq = mel_ref.shape[0]
     feat_len = feat_len_ref[b]
 
     def chunk_body(c, _):
         sl = pl.ds(c * FRAME_CHUNK, FRAME_CHUNK)
-        frames = jnp.concatenate(
-            [a1_ref[0, sl, :], a2_ref[0, sl, :], a3_ref[0, sl, :rem]], axis=1
-        )  # [FC, win]
         # HIGHEST precision: matches the jnp path; bf16 default would put
         # O(1) noise into the log features near the power floor.
         hp = jax.lax.Precision.HIGHEST
-        re = jnp.dot(frames, win_cos_ref[:], precision=hp,
-                     preferred_element_type=jnp.float32)
-        im = jnp.dot(frames, win_sin_ref[:], precision=hp,
-                     preferred_element_type=jnp.float32)
-        power = re * re + im * im
+        # Segmented-K STFT against the combined (cos|sin) basis — same
+        # structure as the jnp path: no [FC, win] frame materialization
+        # (the per-chunk concatenate was a 400 KB VMEM copy), and one
+        # matmul per hop segment instead of two per basis half.
+        acc = jnp.dot(a1_ref[0, sl, :], basis_ref[:hop], precision=hp,
+                      preferred_element_type=jnp.float32)
+        acc += jnp.dot(a2_ref[0, sl, :], basis_ref[hop:2 * hop],
+                       precision=hp, preferred_element_type=jnp.float32)
+        acc += jnp.dot(a3_ref[0, sl, :rem], basis_ref[2 * hop:],
+                       precision=hp, preferred_element_type=jnp.float32)
+        power = acc[:, :n_freq] ** 2 + acc[:, n_freq:] ** 2
         mel = jnp.dot(power, mel_ref[:], precision=hp,
                       preferred_element_type=jnp.float32)
         out_ref[0, sl, :] = jnp.log(jnp.maximum(mel, log_floor))
@@ -104,36 +108,34 @@ def _kernel(
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-    # ---- CMVN (before SpecAugment, matching the jnp path's order) ----
+    # ---- CMVN + SpecAugment + padding mask, one read-modify-write ----
+    # (CMVN before SpecAugment, matching the jnp path's order.)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (FP, n_mels), 0)
     valid = (row_ids < feat_len).astype(jnp.float32)
+    feats = out_ref[0]
     if cmvn_mode == "utterance":
-        feats = out_ref[0]
         denom = jnp.maximum(feat_len.astype(jnp.float32), 1.0)
         mean = jnp.sum(feats * valid, axis=0, keepdims=True) / denom
         var = jnp.sum((feats - mean) ** 2 * valid, axis=0, keepdims=True) / denom
-        out_ref[0] = (feats - mean) * jax.lax.rsqrt(var + 1e-10)
+        feats = (feats - mean) * jax.lax.rsqrt(var + 1e-10)
     elif cmvn_mode == "global":
         mean = cmvn_ref[0:1, :]
         std = cmvn_ref[1:2, :]
-        out_ref[0] = (out_ref[0] - mean) / jnp.maximum(std, 1e-5)
+        feats = (feats - mean) / jnp.maximum(std, 1e-5)
 
-    # ---- SpecAugment (train only; TPU PRNG) ----
-    if train_specaug:
+    if train_specaug:  # train only; in-kernel TPU PRNG
         pltpu.prng_seed(seed_ref[b])
         nm = sa_freq_masks + sa_time_masks
         rnd = pltpu.bitcast(
             pltpu.prng_random_bits((2 * nm, 128)), jnp.uint32
         )[:, 0]
-        feats = out_ref[0]
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (FP, n_mels), 1)
-        keep = jnp.ones((FP, n_mels), jnp.float32)
         for i in range(sa_freq_masks):
             w = (rnd[2 * i] % jnp.uint32(sa_freq_width + 1)).astype(jnp.int32)
             s = (rnd[2 * i + 1] % jnp.uint32(max(n_mels, 1))).astype(jnp.int32)
             s = jnp.minimum(s, n_mels - w)
             hit = (col_ids >= s) & (col_ids < s + w)
-            keep = jnp.where(hit, 0.0, keep)
+            valid = jnp.where(hit, 0.0, valid)
         for i in range(sa_time_masks):
             j = sa_freq_masks + i
             w = (rnd[2 * j] % jnp.uint32(sa_time_width + 1)).astype(jnp.int32)
@@ -141,20 +143,19 @@ def _kernel(
             span = jnp.maximum(feat_len - w + 1, 1)
             s = (rnd[2 * j + 1] % jnp.uint32(FP)).astype(jnp.int32) % span
             hit = (row_ids >= s) & (row_ids < s + w)
-            keep = jnp.where(hit, 0.0, keep)
-        out_ref[0] = feats * keep
+            valid = jnp.where(hit, 0.0, valid)
 
-    # ---- zero padding rows ----
-    out_ref[0] = out_ref[0] * valid
+    out_ref[0] = feats * valid
 
 
 @functools.lru_cache(maxsize=None)
-def _constants(cfg_key) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _constants(cfg_key) -> Tuple[np.ndarray, np.ndarray]:
     (win, n_fft, n_mels, sr, fmin, fmax) = cfg_key
     cos_b, sin_b = dft_basis(win, n_fft)
     w = hann_window(win)[:, None]
+    basis = np.concatenate([w * cos_b, w * sin_b], axis=1).astype(np.float32)
     mel = mel_filterbank(n_mels, n_fft, sr, fmin, fmax)
-    return (w * cos_b).astype(np.float32), (w * sin_b).astype(np.float32), mel
+    return basis, mel
 
 
 def compute_features_pallas(
@@ -184,7 +185,7 @@ def compute_features_pallas(
     a3 = audio[:, 2 * hop : (FP + 2) * hop].reshape(B, FP, hop)
 
     fmax = cfg.fmax if cfg.fmax is not None else cfg.sample_rate / 2.0
-    wc, ws, mel = _constants(
+    basis, mel = _constants(
         (win, cfg.n_fft, M, cfg.sample_rate, cfg.fmin, float(fmax))
     )
 
@@ -239,7 +240,6 @@ def compute_features_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, FP, M), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
@@ -251,7 +251,7 @@ def compute_features_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, FP, M), jnp.float32),
         interpret=interpret,
-    )(feat_len, seeds, a1, a2, a3, jnp.asarray(wc), jnp.asarray(ws),
+    )(feat_len, seeds, a1, a2, a3, jnp.asarray(basis),
       jnp.asarray(mel), cmvn_arr)
     feats = feats_padded[:, :F, :]
 
