@@ -121,11 +121,14 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        state, step, batch = build(dp=False, batch_size=args.batch)
+        # Same att_type as the TPU run so the ratio compares like models
+        # (scan impls + fp32: the honest CPU realization).
+        state, step, batch = build(dp=False, batch_size=args.batch,
+                                   att_type=args.att)
         ups = measure(state, step, batch, warmup=CPU_WARMUP_STEPS,
                       steps=CPU_MEASURE_STEPS)
-        print(f"CPU-JAX baseline (batch {args.batch}): {ups:.3f} utt/s",
-              file=sys.stderr)
+        print(f"CPU-JAX baseline (batch {args.batch}, att {args.att}): "
+              f"{ups:.3f} utt/s", file=sys.stderr)
         print(json.dumps({
             "metric": "train_throughput_cpu_baseline",
             "value": round(ups, 3),

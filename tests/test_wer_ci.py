@@ -37,6 +37,37 @@ def test_point_estimates_match_metrics(tmp_path):
     assert lw <= w <= hw and lc <= ce <= hc
 
 
+def test_paired_compare_tighter_than_unpaired(tmp_path):
+    """Paired diff CI is tighter than the two marginal CIs combined, and
+    detects a systematic 1-word improvement."""
+    rng = np.random.default_rng(1)
+    pairs_a, pairs_b = [], []
+    for i in range(96):
+        ref = "a b c d e f g h"
+        # Decoder A errs on ~2 words, B errs on the same words plus one.
+        errs = int(rng.integers(0, 3))
+        hyp_words = ref.split()
+        for j in range(errs):
+            hyp_words[j] = "x"
+        pairs_a.append((ref, " ".join(hyp_words)))
+        hyp_words_b = list(hyp_words)
+        hyp_words_b[-1] = "y"
+        pairs_b.append((ref, " ".join(hyp_words_b)))
+    pa = str(tmp_path / "a.jsonl")
+    pb = str(tmp_path / "b.jsonl")
+    _write(pa, pairs_a)
+    _write(pb, pairs_b)
+    ca = wer_ci.per_utt_counts(pa, keyed=True)
+    cb = wer_ci.per_utt_counts(pb, keyed=True)
+    keys = sorted(ca)
+    ca = np.asarray([ca[k] for k in keys], np.float64)
+    cb = np.asarray([cb[k] for k in keys], np.float64)
+    d, lo, hi, p_ge = wer_ci.paired_diff_ci(ca, cb, iters=3000)
+    assert abs(d - (-1.0 / 8.0)) < 1e-9  # exactly one word in eight
+    assert hi < 0  # significant: A strictly better
+    assert p_ge < 0.01
+
+
 def test_interval_shrinks_with_n(tmp_path):
     rng = np.random.default_rng(0)
 
