@@ -27,7 +27,7 @@ from gluon_e2e_asr_tpu.utils.platform import enable_compilation_cache
 enable_compilation_cache()
 
 
-def build(mtl_alpha, lstm_impl, dec_impl, dtype, batch):
+def build(mtl_alpha, lstm_impl, dec_impl, dtype, batch, att_type="loc"):
     from __graft_entry__ import _flagship_config, _synth_batch
     from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
     from gluon_e2e_asr_tpu.models.asr import build_model
@@ -39,6 +39,7 @@ def build(mtl_alpha, lstm_impl, dec_impl, dtype, batch):
     config.model.lstm_impl = lstm_impl
     config.model.dec_impl = dec_impl
     config.model.compute_dtype = dtype
+    config.model.att_type = att_type
     config.loss.mtl_alpha = mtl_alpha
     tok = CharTokenizer()
     model = build_model(config, tok.vocab_size, tok.sos_id, tok.eos_id)
@@ -80,6 +81,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--att", default="loc", choices=["loc", "add", "dot"])
     p.add_argument("--variants", default="full,no-ctc,ctc-only,lstm-scan,dec-scan")
     args = p.parse_args()
 
@@ -92,7 +94,8 @@ def main():
     }
     for name in args.variants.split(","):
         mtl, li, di = variants[name]
-        state, step, batch = build(mtl, li, di, args.dtype, args.batch)
+        state, step, batch = build(mtl, li, di, args.dtype, args.batch,
+                                   att_type=args.att)
         dt = measure(state, step, batch)
         print(f"{name:10s} {dt * 1e3:7.2f} ms/step  "
               f"{args.batch / dt:7.1f} utt/s", flush=True)
