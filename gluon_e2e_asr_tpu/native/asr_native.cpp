@@ -271,6 +271,22 @@ struct BitReader {
     return static_cast<int32_t>((v ^ sign)) - static_cast<int32_t>(sign);
   }
 
+  int64_t sbits64(int n) {  // sign-extended read, n in [0, 57]
+    // Sample reads can exceed 32 bits: a decorrelated side channel at
+    // bps=32 carries 33. Composed from two <=32-bit reads so `acc`
+    // (<64 pending bits) never overflows.
+    uint64_t v;
+    if (n <= 32) {
+      v = bits(n);
+    } else {
+      const uint64_t hi = bits(n - 32);
+      v = (hi << 32) | bits(32);
+    }
+    if (n == 0) return 0;
+    const uint64_t sign = 1ull << (n - 1);
+    return static_cast<int64_t>(v ^ sign) - static_cast<int64_t>(sign);
+  }
+
   uint32_t unary() {  // count 0-bits up to and including the terminating 1
     uint32_t q = 0;
     for (;;) {
@@ -350,10 +366,10 @@ bool decode_subframe(BitReader& br, uint32_t block_size, uint32_t bps,
   uint32_t order = 0;
   bool is_fixed = false, is_lpc = false;
   if (type == 0) {  // CONSTANT
-    const int32_t v = br.sbits(ebps);
+    const int64_t v = br.sbits64(ebps);
     for (uint32_t i = 0; i < block_size; ++i) out[i] = v;
   } else if (type == 1) {  // VERBATIM
-    for (uint32_t i = 0; i < block_size; ++i) out[i] = br.sbits(ebps);
+    for (uint32_t i = 0; i < block_size; ++i) out[i] = br.sbits64(ebps);
   } else if (type >= 8 && type <= 12) {
     is_fixed = true;
     order = type - 8;
@@ -368,7 +384,8 @@ bool decode_subframe(BitReader& br, uint32_t block_size, uint32_t bps,
   int qshift = 0;
   if (is_fixed || is_lpc) {
     if (order > block_size) return false;
-    for (uint32_t i = 0; i < order; ++i) out[i] = br.sbits(ebps);  // warmup
+    for (uint32_t i = 0; i < order; ++i)
+      out[i] = br.sbits64(ebps);  // warmup (can be 33-bit on side channels)
     if (is_lpc) {
       const uint32_t prec = br.bits(4) + 1;
       if (prec == 16) return false;  // 0b1111 is invalid

@@ -89,6 +89,25 @@ def test_roundtrip_stereo_downmix(tmp_path, mode):
     np.testing.assert_allclose(out, ref, atol=1e-7)
 
 
+def test_roundtrip_32bit_side_channel(tmp_path):
+    # At bps=32 the decorrelated side channel carries 33 bits; the
+    # decoder must not truncate the verbatim/warmup reads to 32
+    # (asr_native.cpp BitReader::sbits64). Extremes force bit 33.
+    n = 256
+    rng = np.random.RandomState(7)
+    l = rng.randint(-2**31, 2**31, n).astype(np.int64)
+    r = rng.randint(-2**31, 2**31, n).astype(np.int64)
+    l[0], r[0] = 2**31 - 1, -(2**31)   # side = 2**32 - 1 (33 bits)
+    l[1], r[1] = -(2**31), 2**31 - 1   # side = -(2**32 - 1)
+    st = np.stack([l, r], axis=1)
+    ref = (st.mean(axis=1) / 2**31).astype(np.float32)
+    for mode in ("left_side", "right_side", "mid_side"):
+        path = str(tmp_path / f"s32_{mode}.flac")
+        write_flac(path, st, bps=32, channel_mode=mode,
+                   force_subframe="verbatim")
+        np.testing.assert_allclose(decode_flac(path), ref, atol=3e-7)
+
+
 def test_probe_and_rate_mismatch(tmp_path):
     s = _sig(4321)
     path = str(tmp_path / "a.flac")
