@@ -126,6 +126,35 @@ def test_malformed_input_rejected(tmp_path):
         decode_flac(path)
 
 
+def test_fuzz_mutations_never_crash(tmp_path):
+    # Robustness net for the C++ decoder: seeded single-byte flips and
+    # truncations of a valid stream must either decode (CRCs are parsed,
+    # not verified) or raise ValueError — never segfault the process.
+    # The decoder's bounds checks, not the CRCs, are the safety layer.
+    base = encode_flac(_sig(3000), block_size=512)
+    rng = np.random.RandomState(42)
+    path = str(tmp_path / "fuzz.flac")
+    for k in range(200):
+        buf = bytearray(base)
+        pos = int(rng.randint(4, len(buf)))  # keep the fLaC magic
+        buf[pos] ^= 1 << int(rng.randint(8))
+        with open(path, "wb") as f:
+            f.write(bytes(buf))
+        try:
+            out = decode_flac(path, max_samples=16000)
+            assert out.dtype == np.float32 and out.ndim == 1
+        except ValueError:
+            pass
+    for cut in range(4, len(base), 37):  # truncations
+        with open(path, "wb") as f:
+            f.write(base[:cut])
+        try:
+            out = decode_flac(path, max_samples=16000)
+            assert len(out) <= 3000
+        except ValueError:
+            pass
+
+
 def test_flac_wav_parity_via_load_audio(tmp_path):
     """The same PCM through .flac and .wav containers decodes identically."""
     s = _sig()
