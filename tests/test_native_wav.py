@@ -54,6 +54,37 @@ def test_decode_pcm16_matches_python(tmp_path, lib_ok):
     np.testing.assert_allclose(got, ref, atol=1e-7)
 
 
+def test_fuzz_wav_mutations_never_crash(tmp_path, lib_ok):
+    # Seeded byte flips + truncations of a valid RIFF must either decode
+    # or raise ValueError — never crash (parse_wav_header bounds checks
+    # are the safety layer; see the FLAC twin in test_flac.py).
+    rng = np.random.RandomState(11)
+    data = np.clip(rng.randn(2000) * 0.2, -1, 1).astype(np.float32)
+    p = str(tmp_path / "fz.wav")
+    _write_pcm16(p, data)
+    with open(p, "rb") as f:
+        base = f.read()
+    for k in range(200):
+        buf = bytearray(base)
+        pos = int(rng.randint(4, len(buf)))  # keep the RIFF magic
+        buf[pos] ^= 1 << int(rng.randint(8))
+        with open(p, "wb") as f:
+            f.write(bytes(buf))
+        try:
+            out = native.decode_wav(p, max_samples=16000)
+            assert out.dtype == np.float32 and out.ndim == 1
+        except ValueError:
+            pass
+    for cut in range(4, len(base), 53):
+        with open(p, "wb") as f:
+            f.write(base[:cut])
+        try:
+            out = native.decode_wav(p, max_samples=16000)
+            assert len(out) <= 2000
+        except ValueError:
+            pass
+
+
 def test_decode_stereo_downmix(tmp_path, lib_ok):
     rng = np.random.RandomState(1)
     stereo = np.clip(rng.randn(1000, 2) * 0.2, -1, 1).astype(np.float32)
