@@ -202,6 +202,77 @@ def test_beam_k1_att_only_matches_greedy_att():
     assert texts == greedy_texts, (texts, greedy_texts)
 
 
+@pytest.mark.slow
+def test_beam_full_width_matches_exhaustive_search():
+    """With K >= the number of finalizable hypotheses, w=0 and no length
+    norm, the beam must return exactly the brute-force argmax over every
+    sequence of length <= maxlen-1 (incl. the empty one) — end-to-end
+    validation of the finished-buffer merge, force-close, and eos
+    scoring [SURVEY.md §4 'Unit: beam search']."""
+    cfg, tok, model, state, audio, audio_len = _tiny_model_setup(seed=9)
+    audio, audio_len = audio[:1], audio_len[:1]  # B=1
+
+    from gluon_e2e_asr_tpu.frontend.features import frontend_apply
+
+    feats, feat_len = frontend_apply(cfg.frontend, jnp.asarray(audio),
+                                     jnp.asarray(audio_len), train=False)
+    enc, enc_len, _ = model.apply({"params": state.params}, feats, feat_len,
+                                  method=model.encode)
+    T = enc.shape[1]
+    maxlen = 3  # sequences of length 0..2 are finalizable
+    cfg.decode.maxlen_ratio = maxlen / float(enc_len[0])
+    cfg.decode.ctc_weight = 0.0
+    cfg.decode.length_norm = False
+
+    allowed = [i for i in range(tok.vocab_size)
+               if i not in (tok.blank_id, tok.sos_id, tok.eos_id, tok.unk_id)]
+    A = len(allowed)
+    cfg.decode.beam_size = 1 + A + A * A  # every hypothesis survives
+
+    # ---- brute force via the plain decoder_step (shared-enc parity with
+    # decoder_step_beam is asserted in test_beam_shared_enc) ----
+    def step(dstate, tokens, n):
+        e = jnp.broadcast_to(enc, (n,) + enc.shape[1:])
+        em = (jnp.arange(T)[None] < enc_len[:1, None]).astype(jnp.float32)
+        em = jnp.broadcast_to(em, (n, T))
+        ep = model.apply({"params": state.params}, e,
+                         method=model.decoder_precompute)
+        dstate, logits = model.apply(
+            {"params": state.params}, dstate, jnp.asarray(tokens, jnp.int32),
+            e, ep, em, method=model.decoder_step)
+        return dstate, np.asarray(jax.nn.log_softmax(logits, -1))
+
+    def tile(d, k):  # h/c are [layers, B, H]; att_w/context lead with B
+        return {
+            "h": jnp.repeat(d["h"], k, axis=1),
+            "c": jnp.repeat(d["c"], k, axis=1),
+            "att_w": jnp.repeat(d["att_w"], k, axis=0),
+            "context": jnp.repeat(d["context"], k, axis=0),
+        }
+
+    st0 = model.apply({"params": state.params}, 1, T,
+                      method=model.decoder_init_state)
+    st1, lp0 = step(st0, [tok.sos_id], 1)                  # after sos
+    st2, lp1 = step(tile(st1, A), allowed, A)              # after (c)
+    _, lp2 = step(tile(st2, A), allowed * A, A * A)        # after (c,d)
+
+    best_score, best_seq = float(lp0[0, tok.eos_id]), []   # empty hyp
+    for ci, c in enumerate(allowed):
+        s1 = lp0[0, c] + lp1[ci, tok.eos_id]
+        if s1 > best_score:
+            best_score, best_seq = float(s1), [c]
+        for di, d in enumerate(allowed):
+            s2 = lp0[0, c] + lp1[ci, d] + lp2[ci * A + di, tok.eos_id]
+            if s2 > best_score:
+                best_score, best_seq = float(s2), [c, d]
+
+    decode = make_beam_decoder(model, cfg, tok)
+    texts, scores = decode(state.params, jnp.asarray(audio),
+                           jnp.asarray(audio_len))
+    assert texts[0] == tok.decode(best_seq), (texts, best_seq)
+    np.testing.assert_allclose(scores[0], best_score, atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # Partial (candidate-restricted) CTC prefix scoring [VERDICT.md weak #6]
 # ---------------------------------------------------------------------------
