@@ -187,6 +187,10 @@ class DecodeConfig:
     # N ≈ 1.5–2× beam_size is customary). 0 = full-vocab scoring, which
     # refuses vocabs > 512 (set N instead).
     ctc_score_candidates: int = 0
+    # Data-parallel decode: shard the batch axis over all devices
+    # (shard_map, params replicated, no collectives). Requires
+    # data.batch_size divisible by the device count.
+    dp: bool = False
     output_path: str = "decode.jsonl"
 
 

@@ -87,12 +87,23 @@ def main(argv=None):
     if meta.get("vocab"):
         tokenizer = CharTokenizer.from_json(meta["vocab"])
 
+    mesh = None
+    if config.decode.dp:
+        from gluon_e2e_asr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        ndev = mesh.devices.size
+        if config.data.batch_size % ndev:
+            raise ValueError(
+                f"decode.dp needs data.batch_size ({config.data.batch_size}) "
+                f"divisible by the device count ({ndev})")
     if config.decode.method == "beam":
         from gluon_e2e_asr_tpu.decoding.beam import make_beam_decoder
 
-        decoder = make_beam_decoder(model, config, tokenizer, cmvn_stats)
+        decoder = make_beam_decoder(model, config, tokenizer, cmvn_stats,
+                                    mesh=mesh)
     else:
-        decoder = make_greedy_decoder(model, config, cmvn_stats)
+        decoder = make_greedy_decoder(model, config, cmvn_stats, mesh=mesh)
 
     # "w": each decode run owns its output file — stale records from a
     # previous run would silently pollute the fidelity harness goldens.

@@ -144,11 +144,16 @@ def make_beam_decoder(
     config: Config,
     tokenizer: CharTokenizer,
     cmvn_stats=None,
+    mesh=None,
 ) -> Callable:
     """Build the jitted batched beam decoder.
 
     Returns fn(params, audio, audio_len) -> (texts: List[str], scores).
     The device portion is fully jitted; the host only detokenizes.
+    With ``mesh`` the batch axis is sharded over the ``data`` mesh axis
+    (shard_map, params replicated, no collectives — every sample's beam
+    runs shard-locally): DP decode for multi-chip eval/serving
+    throughput, the same seam as the DP train step [SURVEY.md §2.3].
     """
     dc = config.decode
     K = dc.beam_size
@@ -179,7 +184,6 @@ def make_beam_decoder(
             "(each step keeps K continuations drawn from the candidates)"
         )
 
-    @jax.jit
     def device_fn(params, audio, audio_len):
         feats, feat_len = frontend_apply(
             config.frontend, audio, audio_len, train=False,
@@ -430,6 +434,20 @@ def make_beam_decoder(
             final["fin_score"], best[:, None], axis=1
         )[:, 0]
         return best_tokens, best_len, best_score
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from gluon_e2e_asr_tpu.parallel.mesh import DATA_AXIS
+
+        d = P(DATA_AXIS)
+        # check_vma=False as in the train step: scan/while carries start
+        # unvarying and become data-varying on step one.
+        device_fn = jax.shard_map(
+            device_fn, mesh=mesh,
+            in_specs=(P(), d, d), out_specs=(d, d, d), check_vma=False,
+        )
+    device_fn = jax.jit(device_fn)
 
     def decode(params, audio, audio_len):
         tokens, lens, scores = device_fn(params, audio, audio_len)

@@ -20,11 +20,16 @@ from gluon_e2e_asr_tpu.ops.ctc import ctc_greedy_decode
 
 
 def make_greedy_decoder(
-    model: ASRModel, config: Config, cmvn_stats=None
+    model: ASRModel, config: Config, cmvn_stats=None, mesh=None
 ) -> Callable:
-    """Returns jitted fn(params, audio, audio_len) -> (ids [B,T'], lens [B])."""
+    """Returns jitted fn(params, audio, audio_len) -> (ids [B,T'], lens [B]).
 
-    @jax.jit
+    With ``mesh`` the batch axis is sharded over the ``data`` mesh axis
+    (shard_map: params replicated, every sample decoded shard-locally,
+    no collectives) — DP decode/eval throughput mirroring the DP train
+    step [SURVEY.md §2.3; the same seam as training/train_step.py].
+    """
+
     def decode_fn(params, audio, audio_len):
         feats, feat_len = frontend_apply(
             config.frontend, audio, audio_len, train=False, cmvn_stats=cmvn_stats
@@ -34,7 +39,19 @@ def make_greedy_decoder(
         )
         return ctc_greedy_decode(ctc_logits, enc_len, blank_id=0)
 
-    return decode_fn
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from gluon_e2e_asr_tpu.parallel.mesh import DATA_AXIS
+
+        d = P(DATA_AXIS)
+        # check_vma=False for the same reason as the train step: scan
+        # carries start as unvarying zeros (see train_step.py).
+        decode_fn = jax.shard_map(
+            decode_fn, mesh=mesh,
+            in_specs=(P(), d, d), out_specs=(d, d), check_vma=False,
+        )
+    return jax.jit(decode_fn)
 
 
 def ids_to_texts(

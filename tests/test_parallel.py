@@ -250,3 +250,34 @@ def test_shard_map_with_both_pallas_kernels_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_sm.params)),
                     jax.tree_util.tree_leaves(jax.device_get(s_1.params))):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+def test_dp_decode_matches_single_device():
+    """DP decode (shard_map over the data axis) must return the same
+    transcripts as the single-device decoders on the same global batch
+    [SURVEY.md §2.3 seam; decode.dp]."""
+    from gluon_e2e_asr_tpu.decoding.beam import make_beam_decoder
+    from gluon_e2e_asr_tpu.decoding.greedy import make_greedy_decoder
+
+    cfg, model, tx, state, batch = _setup(dp_batch=8, deterministic=True)
+    cfg.decode.method = "beam"
+    cfg.decode.beam_size = 3
+    cfg.decode.ctc_weight = 0.3
+    tok = CharTokenizer()
+    mesh = make_mesh()
+    audio = jnp.asarray(batch["audio"])
+    audio_len = jnp.asarray(batch["audio_len"])
+
+    g1 = make_greedy_decoder(model, cfg)
+    gd = make_greedy_decoder(model, cfg, mesh=mesh)
+    ids1, len1 = g1(state.params, audio, audio_len)
+    idsd, lend = gd(state.params, audio, audio_len)
+    np.testing.assert_array_equal(np.asarray(len1), np.asarray(lend))
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(idsd))
+
+    b1 = make_beam_decoder(model, cfg, tok)
+    bd = make_beam_decoder(model, cfg, tok, mesh=mesh)
+    t1, s1 = b1(state.params, audio, audio_len)
+    td, sd = bd(state.params, audio, audio_len)
+    assert t1 == td
+    np.testing.assert_allclose(s1, sd, rtol=1e-5, atol=1e-5)
