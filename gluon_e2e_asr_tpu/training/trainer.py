@@ -146,17 +146,27 @@ class Trainer:
         )
         # Dev eval decoder follows decode.method: greedy CTC needs a trained
         # CTC head (mtl_alpha > 0); pure-attention configs (milestone 3)
-        # evaluate with the att-only beam.
+        # evaluate with the att-only beam. Under DP the eval shards the
+        # batch over the same mesh as training (results are identical to
+        # single-device decode — tests/test_parallel.py DP-decode test) so
+        # a multi-chip pod doesn't idle N-1 chips during the epoch eval;
+        # falls back to single-device when the batch doesn't divide.
+        eval_mesh = self.mesh
+        if eval_mesh is not None and (
+                config.data.batch_size % eval_mesh.devices.size):
+            eval_mesh = None
         if config.decode.method == "beam":
             from gluon_e2e_asr_tpu.decoding.beam import make_beam_decoder
 
             self._beam = make_beam_decoder(
-                self.model, config, self.tokenizer, self.cmvn_stats
+                self.model, config, self.tokenizer, self.cmvn_stats,
+                mesh=eval_mesh,
             )
             self.greedy = None
         else:
             self.greedy = make_greedy_decoder(self.model, config,
-                                              self.cmvn_stats)
+                                              self.cmvn_stats,
+                                              mesh=eval_mesh)
             self._beam = None
         self.epoch0 = 0
         self.skip_batches = 0  # mid-epoch resume position
