@@ -146,8 +146,29 @@ def main():
 
     from gluon_e2e_asr_tpu.utils.platform import warm_device_transfer
 
+    # Device watchdog: if the axon tunnel is wedged, the first device
+    # touch blocks forever (claim_timeout is infinite in this image's
+    # plugin). Fail loudly instead of hanging the driver — 900 s is far
+    # past the worst first-compile/transfer-init observed (~2 min).
+    import os as _os
+    import threading
+
+    _device_ready = threading.Event()
+    _timeout_s = float(_os.environ.get("GLUON_BENCH_DEVICE_TIMEOUT_S", 900))
+
+    def _watchdog():
+        if not _device_ready.wait(_timeout_s):
+            print(
+                f"bench: no device response after {_timeout_s:.0f} s "
+                "(TPU tunnel wedged?) — aborting instead of hanging",
+                file=sys.stderr,
+            )
+            _os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     warm_device_transfer()
     n_chips = max(len(jax.devices()), 1)
+    _device_ready.set()
     state, step, batch = build(dp=False, lstm_impl=args.lstm_impl,
                                batch_size=args.batch,
                                compute_dtype=args.dtype,
