@@ -46,8 +46,13 @@ def save_checkpoint(
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
-    with open(path + ".json", "w") as f:
+    # Sidecar meta gets the same tmp+rename discipline as the payload: a
+    # crash mid-write must never leave a corrupt .json next to a valid
+    # checkpoint (crash-only design, SURVEY.md §5 failure recovery).
+    meta_tmp = path + ".json.tmp"
+    with open(meta_tmp, "w") as f:
         json.dump(dict(meta, step=step), f, indent=2)
+    os.replace(meta_tmp, path + ".json")
     if is_best:
         best = os.path.join(ckpt_dir, "best.msgpack")
         for suffix in ("", ".json"):
