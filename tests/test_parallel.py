@@ -252,6 +252,7 @@ def test_shard_map_with_both_pallas_kernels_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dp_decode_matches_single_device():
     """DP decode (shard_map over the data axis) must return the same
     transcripts as the single-device decoders on the same global batch
