@@ -191,6 +191,10 @@ class DecodeConfig:
     # (shard_map, params replicated, no collectives). Requires
     # data.batch_size divisible by the device count.
     dp: bool = False
+    # Beam only: emit the top-N finished hypotheses per utterance
+    # (clamped to beam_size). 1 = classic 1-best records; >1 adds an
+    # "nbest" list to each decode JSONL record.
+    nbest: int = 1
     output_path: str = "decode.jsonl"
 
 

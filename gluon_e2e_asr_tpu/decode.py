@@ -123,7 +123,13 @@ def main(argv=None):
                     np.asarray(leaf)  # full path incl. device->host fetch
             warmed.add(b.bucket)
         t0 = time.perf_counter()
-        if config.decode.method == "beam":
+        nbest_lists = None
+        if config.decode.method == "beam" and config.decode.nbest > 1:
+            nbest_lists = decoder.nbest(state.params, jnp.asarray(b.audio),
+                                        jnp.asarray(b.audio_len))
+            texts = [nb[0][0] for nb in nbest_lists]
+            scores = [nb[0][1] for nb in nbest_lists]
+        elif config.decode.method == "beam":
             texts, scores = decoder(state.params, jnp.asarray(b.audio),
                                     jnp.asarray(b.audio_len))
         else:
@@ -139,13 +145,19 @@ def main(argv=None):
             refs.append(ref)
             hyps.append(texts[row])
             latencies.append(per_utt)
-            logger.log({
+            rec = {
                 "utt_id": utt_id,
                 "hyp": texts[row],
                 "ref": ref,
                 "score": float(scores[row]),
                 "latency_s": round(per_utt, 5),
-            })
+            }
+            if nbest_lists is not None:
+                rec["nbest"] = [
+                    {"hyp": t, "score": round(s, 4)}
+                    for t, s in nbest_lists[row] if np.isfinite(s)
+                ]
+            logger.log(rec)
     result = {
         "event": "decode_done",
         "method": config.decode.method,

@@ -169,6 +169,7 @@ def make_beam_decoder(
     # attention log-prob per beam. Full-vocab scoring materializes
     # [T, B, K, V, 2] prefix states per step — refuse that loudly at BPE
     # vocab sizes instead of OOMing [VERDICT.md weak #6].
+    n_best = max(1, min(int(getattr(dc, "nbest", 1)), K))
     n_cand = int(dc.ctc_score_candidates)
     use_partial = w > 0.0 and 0 < n_cand < V
     if w > 0.0 and not use_partial and V > 512:
@@ -421,19 +422,15 @@ def make_beam_decoder(
 
         final, _ = jax.lax.while_loop(cond_fn, body_fn,
                                       (init, jnp.int32(0)))
-        # Best finished hypothesis per sample (buffer is already sorted by
-        # top_k each step; take argmax to be safe).
-        best = jnp.argmax(final["fin_score"], axis=1)  # [B]
-        best_tokens = jnp.take_along_axis(
-            final["fin_tokens"], best[:, None, None], axis=1
-        )[:, 0]
-        best_len = jnp.take_along_axis(final["fin_len"], best[:, None], axis=1)[
-            :, 0
-        ]
-        best_score = jnp.take_along_axis(
-            final["fin_score"], best[:, None], axis=1
-        )[:, 0]
-        return best_tokens, best_len, best_score
+        # Top-N finished hypotheses per sample, score-descending (argsort
+        # is stable, so N=1 row 0 == the argmax 1-best).
+        order = jnp.argsort(-final["fin_score"], axis=1)[:, :n_best]
+        nb_tokens = jnp.take_along_axis(
+            final["fin_tokens"], order[:, :, None], axis=1
+        )  # [B,N,Lmax]
+        nb_len = jnp.take_along_axis(final["fin_len"], order, axis=1)
+        nb_score = jnp.take_along_axis(final["fin_score"], order, axis=1)
+        return nb_tokens, nb_len, nb_score
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -454,9 +451,25 @@ def make_beam_decoder(
         tokens = np.asarray(tokens)
         lens = np.asarray(lens)
         texts = [
-            tokenizer.decode(tokens[b, : int(lens[b])])
+            tokenizer.decode(tokens[b, 0, : int(lens[b, 0])])
             for b in range(tokens.shape[0])
         ]
-        return texts, np.asarray(scores)
+        return texts, np.asarray(scores)[:, 0]
 
+    def decode_nbest(params, audio, audio_len):
+        """[[(text, score)] * N] per utterance, score-descending. Slots
+        beyond the number of finished hypotheses carry score -inf."""
+        tokens, lens, scores = device_fn(params, audio, audio_len)
+        tokens, lens = np.asarray(tokens), np.asarray(lens)
+        scores = np.asarray(scores)
+        return [
+            [
+                (tokenizer.decode(tokens[b, n, : int(lens[b, n])]),
+                 float(scores[b, n]))
+                for n in range(tokens.shape[1])
+            ]
+            for b in range(tokens.shape[0])
+        ]
+
+    decode.nbest = decode_nbest
     return decode

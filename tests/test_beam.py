@@ -375,6 +375,25 @@ def test_beam_full_width_joint_matches_exhaustive_search():
     np.testing.assert_allclose(scores[0], best_score, atol=1e-3)
 
 
+def test_nbest_ordering_and_1best_consistency():
+    """decode.nbest returns score-descending lists whose head equals the
+    1-best path; finite entries are distinct hypotheses."""
+    cfg, tok, model, state, audio, audio_len = _tiny_model_setup(seed=5)
+    cfg.decode.beam_size = 4
+    cfg.decode.nbest = 4
+    decode = make_beam_decoder(model, cfg, tok)
+    texts, scores = decode(state.params, jnp.asarray(audio),
+                           jnp.asarray(audio_len))
+    nbest = decode.nbest(state.params, jnp.asarray(audio),
+                         jnp.asarray(audio_len))
+    for b in range(len(texts)):
+        entries = nbest[b]
+        assert entries[0][0] == texts[b]
+        np.testing.assert_allclose(entries[0][1], scores[b], rtol=1e-6)
+        finite = [s for _, s in entries if np.isfinite(s) and s > NEG_INF / 2]
+        assert finite == sorted(finite, reverse=True)
+
+
 # ---------------------------------------------------------------------------
 # Partial (candidate-restricted) CTC prefix scoring [VERDICT.md weak #6]
 # ---------------------------------------------------------------------------
