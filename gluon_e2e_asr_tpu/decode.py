@@ -28,7 +28,7 @@ from gluon_e2e_asr_tpu.data.loader import DataLoader
 from gluon_e2e_asr_tpu.data.sampler import BucketSampler, make_bucket_specs
 from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
 from gluon_e2e_asr_tpu.decoding.greedy import ids_to_texts, make_greedy_decoder
-from gluon_e2e_asr_tpu.eval.metrics import cer, wer
+from gluon_e2e_asr_tpu.eval.metrics import cer, edit_distance, wer
 from gluon_e2e_asr_tpu.models.asr import build_model
 from gluon_e2e_asr_tpu.training.checkpoint import restore_checkpoint
 from gluon_e2e_asr_tpu.training.train_step import (
@@ -109,6 +109,7 @@ def main(argv=None):
     # previous run would silently pollute the fidelity harness goldens.
     logger = JsonlLogger(out_path, also_stdout=False, mode="w")
     refs, hyps, latencies = [], [], []
+    oracle_hyps = []  # per-utt min-word-error hypothesis within the nbest
     by_id = {u.utt_id: u for u in dev_utts}
     warmed = set()
     for b in loader.epoch(0):
@@ -153,10 +154,15 @@ def main(argv=None):
                 "latency_s": round(per_utt, 5),
             }
             if nbest_lists is not None:
+                cands = [t for t, s in nbest_lists[row] if np.isfinite(s)]
                 rec["nbest"] = [
                     {"hyp": t, "score": round(s, 4)}
                     for t, s in nbest_lists[row] if np.isfinite(s)
                 ]
+                rw = ref.split()
+                oracle_hyps.append(min(
+                    cands or [""],
+                    key=lambda t: edit_distance(rw, t.split())))
             logger.log(rec)
     result = {
         "event": "decode_done",
@@ -171,6 +177,10 @@ def main(argv=None):
         "p50_latency_s": round(percentile(latencies, 50), 5),
         "output": out_path,
     }
+    if oracle_hyps:
+        # Best achievable WER picking per-utterance from the n-best list
+        # (the list's headroom diagnostic; always <= the 1-best wer).
+        result["oracle_wer"] = round(wer(refs, oracle_hyps), 4)
     print(json.dumps(result))
     logger.close()
     return result
