@@ -178,6 +178,12 @@ class DecodeConfig:
     minlen_ratio: float = 0.0
     # Length normalization at finalization [BASELINE.json:L11].
     length_norm: bool = True
+    # Token insertion penalty (the reference family's beam knob): every
+    # emitted token adds `penalty` to the hypothesis score, i.e.
+    # score(h) += penalty * |h|. Positive favors longer hypotheses
+    # (counteracting the short-hypothesis bias of pure log-prob sums);
+    # 0 = off. Applied before length normalization.
+    penalty: float = 0.0
     # CTC prefix scores are maintained per (beam, extension-token) over
     # encoder time — [T, B, K, V, 2] floats with full-vocab scoring, which
     # is fine at char vocab but blows up at BPE sizes. With

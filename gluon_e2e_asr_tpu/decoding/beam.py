@@ -170,6 +170,7 @@ def make_beam_decoder(
     # [T, B, K, V, 2] prefix states per step — refuse that loudly at BPE
     # vocab sizes instead of OOMing [VERDICT.md weak #6].
     n_best = max(1, min(int(getattr(dc, "nbest", 1)), K))
+    penalty = float(getattr(dc, "penalty", 0.0))
     n_cand = int(dc.ctc_score_candidates)
     use_partial = w > 0.0 and 0 < n_cand < V
     if w > 0.0 and not use_partial and V > 512:
@@ -289,7 +290,12 @@ def make_beam_decoder(
             joint = (1.0 - w) * att_cont + w * psi  # [B,K,n_ext]
 
             # ---- eos candidates -> finished buffer (length-normalized) ----
-            eos_score = (1.0 - w) * att_total[..., eos_id] + w * full_prob
+            # Token insertion penalty: score(h) += penalty * |h|. All live
+            # beams share length i at step i, so continuation ranking is
+            # unaffected; only WHICH finalization wins (short vs long)
+            # shifts — the reference family's beam knob.
+            eos_score = ((1.0 - w) * att_total[..., eos_id] + w * full_prob
+                         + penalty * carry["hyp_len"].astype(jnp.float32))
             new_len = carry["hyp_len"] + 1  # includes eos
             if dc.length_norm:
                 fin_cand_score = eos_score / new_len.astype(jnp.float32)

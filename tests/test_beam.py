@@ -375,6 +375,33 @@ def test_beam_full_width_joint_matches_exhaustive_search():
     np.testing.assert_allclose(scores[0], best_score, atol=1e-3)
 
 
+def test_insertion_penalty_lengthens_hypotheses():
+    """decode.penalty: 0 must reproduce the default decode exactly; a
+    strongly positive penalty must not shorten any hypothesis (and a
+    strongly negative one must not lengthen any) — score(h) adds
+    penalty * |h| at finalization only."""
+    cfg, tok, model, state, audio, audio_len = _tiny_model_setup(seed=6)
+    cfg.decode.beam_size = 4
+    base = make_beam_decoder(model, cfg, tok)
+    t0, s0 = base(state.params, jnp.asarray(audio), jnp.asarray(audio_len))
+
+    cfg.decode.penalty = 0.0
+    same = make_beam_decoder(model, cfg, tok)
+    t1, s1 = same(state.params, jnp.asarray(audio), jnp.asarray(audio_len))
+    assert t0 == t1
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+    cfg.decode.penalty = 5.0
+    longer = make_beam_decoder(model, cfg, tok)
+    tl, _ = longer(state.params, jnp.asarray(audio), jnp.asarray(audio_len))
+    assert all(len(a) >= len(b) for a, b in zip(tl, t0)), (tl, t0)
+
+    cfg.decode.penalty = -5.0
+    shorter = make_beam_decoder(model, cfg, tok)
+    ts, _ = shorter(state.params, jnp.asarray(audio), jnp.asarray(audio_len))
+    assert all(len(a) <= len(b) for a, b in zip(ts, t0)), (ts, t0)
+
+
 def test_nbest_ordering_and_1best_consistency():
     """decode.nbest returns score-descending lists whose head equals the
     1-best path; finite entries are distinct hypotheses."""
