@@ -276,9 +276,13 @@ def test_dp_decode_matches_single_device():
     np.testing.assert_array_equal(np.asarray(len1), np.asarray(lend))
     np.testing.assert_array_equal(np.asarray(ids1), np.asarray(idsd))
 
+    cfg.decode.nbest = 2  # [B,N,...] outputs must shard over B too
     b1 = make_beam_decoder(model, cfg, tok)
     bd = make_beam_decoder(model, cfg, tok, mesh=mesh)
     t1, s1 = b1(state.params, audio, audio_len)
     td, sd = bd(state.params, audio, audio_len)
     assert t1 == td
     np.testing.assert_allclose(s1, sd, rtol=1e-5, atol=1e-5)
+    n1 = b1.nbest(state.params, audio, audio_len)
+    nd = bd.nbest(state.params, audio, audio_len)
+    assert [[t for t, _ in u] for u in n1] == [[t for t, _ in u] for u in nd]
