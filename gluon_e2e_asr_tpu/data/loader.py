@@ -263,4 +263,13 @@ class EpochPrefetcher:
                     self._q.get_nowait()
             except queue.Empty:
                 pass
-            self._thread.join(timeout=5.0)
+            self._thread.join(timeout=30.0)
+            if self._thread.is_alive():
+                # A producer stuck inside a long make_batch (e.g. a large
+                # cold-cache native decode) outlived the join: it may still
+                # touch the loader's caches concurrently with whatever the
+                # caller does next — surface that instead of hiding it.
+                _LOG.warning(
+                    "batch-prefetch thread did not exit within 30s of "
+                    "close(); it is still assembling a batch and shares "
+                    "the loader with the caller until it finishes")

@@ -27,6 +27,7 @@ from gluon_e2e_asr_tpu.config import Config, apply_overrides, load_config
 from gluon_e2e_asr_tpu.data.loader import DataLoader
 from gluon_e2e_asr_tpu.data.sampler import BucketSampler, make_bucket_specs
 from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+from gluon_e2e_asr_tpu.decoding.beam import NEG_INF as BEAM_NEG_INF
 from gluon_e2e_asr_tpu.decoding.greedy import ids_to_texts, make_greedy_decoder
 from gluon_e2e_asr_tpu.eval.metrics import cer, edit_distance, wer
 from gluon_e2e_asr_tpu.models.asr import build_model
@@ -37,6 +38,14 @@ from gluon_e2e_asr_tpu.training.train_step import (
 )
 from gluon_e2e_asr_tpu.training.trainer import build_datasets
 from gluon_e2e_asr_tpu.utils.logging import JsonlLogger, percentile
+
+
+def filled_nbest(nbest_row):
+    """Drop unfilled n-best slots. The beam pads missing hypotheses with
+    its NEG_INF sentinel (-1e30) — which IS np.isfinite, so a finiteness
+    check would let phantom empty hypotheses pollute the records and the
+    oracle-WER candidate set."""
+    return [(t, s) for t, s in nbest_row if s > BEAM_NEG_INF / 2]
 
 
 def main(argv=None):
@@ -93,10 +102,14 @@ def main(argv=None):
 
         mesh = make_mesh()
         ndev = mesh.devices.size
-        if config.data.batch_size % ndev:
+        # Every bucket's batch size must shard evenly: with
+        # data.dynamic_batch the per-bucket sizes differ from
+        # data.batch_size (sampler.make_bucket_specs scales them).
+        bad_bs = sorted({s.batch_size for s in specs if s.batch_size % ndev})
+        if bad_bs:
             raise ValueError(
-                f"decode.dp needs data.batch_size ({config.data.batch_size}) "
-                f"divisible by the device count ({ndev})")
+                f"decode.dp needs every bucket batch size divisible by the "
+                f"device count ({ndev}); got {bad_bs}")
     if config.decode.method == "beam":
         from gluon_e2e_asr_tpu.decoding.beam import make_beam_decoder
 
@@ -154,10 +167,10 @@ def main(argv=None):
                 "latency_s": round(per_utt, 5),
             }
             if nbest_lists is not None:
-                cands = [t for t, s in nbest_lists[row] if np.isfinite(s)]
+                filled = filled_nbest(nbest_lists[row])
+                cands = [t for t, _ in filled]
                 rec["nbest"] = [
-                    {"hyp": t, "score": round(s, 4)}
-                    for t, s in nbest_lists[row] if np.isfinite(s)
+                    {"hyp": t, "score": round(s, 4)} for t, s in filled
                 ]
                 rw = ref.split()
                 oracle_hyps.append(min(

@@ -464,7 +464,8 @@ def make_beam_decoder(
 
     def decode_nbest(params, audio, audio_len):
         """[[(text, score)] * N] per utterance, score-descending. Slots
-        beyond the number of finished hypotheses carry score -inf."""
+        beyond the number of finished hypotheses carry the NEG_INF
+        sentinel (-1e30; filter with ``score > NEG_INF / 2``)."""
         tokens, lens, scores = device_fn(params, audio, audio_len)
         tokens, lens = np.asarray(tokens), np.asarray(lens)
         scores = np.asarray(scores)

@@ -639,13 +639,30 @@ int32_t decode_flac_f32(const char* path, int32_t expect_rate, float* out,
 
 // Probe FLAC sample rate + total frame count from STREAMINFO.
 // Returns 0 on success, negative error codes as decode_flac_f32.
+// STREAMINFO is mandatorily the FIRST metadata block (FLAC spec), so
+// probing reads only the first 42 bytes — manifest construction over a
+// LibriSpeech-sized corpus must not slurp every payload for a duration.
 int32_t probe_flac(const char* path, int32_t* out_rate, int64_t* out_frames) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, &buf)) return -1;
-  FlacInfo si;
-  if (!parse_flac_meta(buf.data(), buf.size(), &si)) return -2;
-  *out_rate = static_cast<int32_t>(si.sample_rate);
-  *out_frames = static_cast<int64_t>(si.total_samples);
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  uint8_t hdr[42];  // "fLaC" + block header + 34-byte STREAMINFO
+  const bool ok = read_exact(f, hdr, sizeof(hdr));
+  std::fclose(f);
+  if (!ok || std::memcmp(hdr, "fLaC", 4) != 0) return -2;
+  if ((hdr[4] & 0x7F) != 0) return -2;  // first block must be STREAMINFO
+  const uint32_t len = (hdr[5] << 16) | (hdr[6] << 8) | hdr[7];
+  if (len < 34) return -2;
+  const uint8_t* s = hdr + 8;
+  const uint32_t rate = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4);
+  const uint32_t channels = ((s[12] >> 1) & 0x7) + 1;
+  const uint32_t bps = (((s[12] & 0x1) << 4) | (s[13] >> 4)) + 1;
+  const uint64_t total = (static_cast<uint64_t>(s[13] & 0x0F) << 32) |
+                         (static_cast<uint64_t>(s[14]) << 24) |
+                         (s[15] << 16) | (s[16] << 8) | s[17];
+  if (rate == 0 || channels < 1 || channels > 8 || bps < 4 || bps > 32)
+    return -2;
+  *out_rate = static_cast<int32_t>(rate);
+  *out_frames = static_cast<int64_t>(total);
   return 0;
 }
 

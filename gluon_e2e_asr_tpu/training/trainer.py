@@ -122,6 +122,19 @@ class Trainer:
         self.tx = make_optimizer(config)
         self.mesh = make_mesh() if config.train.dp else None
         self.n_chips = len(jax.devices()) if config.train.dp else 1
+        if self.mesh is not None:
+            # Grads must shard evenly: EVERY bucket's batch size (with
+            # data.dynamic_batch they differ from data.batch_size) has to
+            # divide the device count. Fail at init, not mid-epoch.
+            ndev = self.mesh.devices.size
+            bad = sorted({s.batch_size for s in self.sampler.specs
+                          if s.batch_size % ndev})
+            if bad:
+                raise ValueError(
+                    f"train.dp needs every bucket batch size divisible by "
+                    f"the device count ({ndev}); got {bad} — adjust "
+                    "data.batch_size / data.bucket_bounds_sec or disable "
+                    "data.dynamic_batch")
         self.cmvn_stats = None
         if config.frontend.cmvn == "global":
             path = config.frontend.cmvn_stats_path
@@ -151,9 +164,13 @@ class Trainer:
         # single-device decode — tests/test_parallel.py DP-decode test) so
         # a multi-chip pod doesn't idle N-1 chips during the epoch eval;
         # falls back to single-device when the batch doesn't divide.
+        # Every bucket's batch size must shard evenly — with
+        # data.dynamic_batch the per-bucket sizes differ from
+        # data.batch_size.
         eval_mesh = self.mesh
-        if eval_mesh is not None and (
-                config.data.batch_size % eval_mesh.devices.size):
+        if eval_mesh is not None and any(
+                s.batch_size % eval_mesh.devices.size
+                for s in self.dev_sampler.specs):
             eval_mesh = None
         if config.decode.method == "beam":
             from gluon_e2e_asr_tpu.decoding.beam import make_beam_decoder

@@ -65,15 +65,31 @@ def _lib_path() -> str:
 
 
 def _prune_stale(lib_path: str) -> None:
-    """Remove superseded hash-named binaries beside a freshly built one."""
+    """Remove superseded hash-named binaries beside a freshly built one.
+
+    In the repo-local ``native/`` dir one checkout owns the directory, so
+    every other hash is superseded and removed. The per-user cache dir is
+    shared across checkouts (and, on NFS homes, across hosts), where
+    sibling hashes may be another checkout's *live* binary — unconditional
+    pruning there would make two checkouts evict each other into a g++
+    rebuild on every alternation. There, only binaries untouched for 30+
+    days are removed (bounding accumulation without churn)."""
+    import time
+
     d = os.path.dirname(lib_path)
     keep = os.path.basename(lib_path)
+    shared_cache = os.path.abspath(d) != os.path.abspath(_NATIVE_DIR)
     try:
         for f in os.listdir(d):
             if (f.startswith("libasr_native.") and f.endswith(".so")
                     and f != keep):
+                p = os.path.join(d, f)
                 try:
-                    os.unlink(os.path.join(d, f))
+                    if shared_cache and (
+                            time.time() - os.path.getmtime(p)
+                            < 30 * 86400):
+                        continue
+                    os.unlink(p)
                 except OSError:
                     pass
     except OSError:

@@ -118,6 +118,22 @@ def test_probe_and_rate_mismatch(tmp_path):
         decode_flac(path, expect_rate=8000)  # rc=-3 rate mismatch
 
 
+def test_probe_reads_header_only(tmp_path):
+    # probe_flac must read only the 42-byte fLaC+STREAMINFO prefix —
+    # building a LibriSpeech manifest probes every utterance for its
+    # duration and must not slurp the whole corpus [ADVICE/code-review
+    # round 2]. A file truncated to that prefix still probes correctly.
+    s = _sig(9876)
+    path = str(tmp_path / "full.flac")
+    write_flac(path, s, sample_rate=16000)
+    with open(path, "rb") as f:
+        head = f.read(42)
+    trunc = str(tmp_path / "head_only.flac")
+    with open(trunc, "wb") as f:
+        f.write(head)
+    assert probe_flac(trunc) == (16000, 9876)
+
+
 def test_malformed_input_rejected(tmp_path):
     path = str(tmp_path / "bad.flac")
     with open(path, "wb") as f:
