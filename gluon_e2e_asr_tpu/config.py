@@ -182,7 +182,11 @@ class DecodeConfig:
     # emitted token adds `penalty` to the hypothesis score, i.e.
     # score(h) += penalty * |h|. Positive favors longer hypotheses
     # (counteracting the short-hypothesis bias of pure log-prob sums);
-    # 0 = off. Applied before length normalization.
+    # 0 = off. Applied before length normalization — which makes it
+    # nearly a no-op when length_norm is true (the /|h| turns the term
+    # into an almost-constant offset): penalty and length_norm are two
+    # remedies for the SAME bias, so pick one (the decoder warns if
+    # both are set).
     penalty: float = 0.0
     # CTC prefix scores are maintained per (beam, extension-token) over
     # encoder time — [T, B, K, V, 2] floats with full-vocab scoring, which
@@ -225,6 +229,36 @@ class Config:
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
+def _coerce_typed(fld: dataclasses.Field, v):
+    """Coerce a parsed yaml scalar toward the field's default type.
+
+    YAML 1.1 parses ``1e-10`` as a STRING (the spec wants ``1.0e-10``),
+    so a hand-written ``log_floor: 1e-10`` would otherwise flow into
+    jnp ops as a str and fail deep inside a trace. Also normalizes
+    yaml ints into float fields (``0`` for ``0.0``)."""
+    d = fld.default
+    if d is dataclasses.MISSING:
+        return v
+    if isinstance(d, bool):
+        if isinstance(v, str) and v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        return v
+    try:
+        if isinstance(d, float) and isinstance(v, (str, int)):
+            return float(v)
+        if isinstance(d, int) and isinstance(v, str):
+            return int(v)
+        if isinstance(d, tuple) and isinstance(v, tuple) and d:
+            elem = d[0]
+            if isinstance(elem, float):
+                return tuple(float(x) for x in v)
+            if isinstance(elem, int) and not isinstance(elem, bool):
+                return tuple(int(x) for x in v)
+    except (ValueError, TypeError):
+        pass
+    return v
+
+
 def _coerce(dc_type, value):
     """Build a dataclass from a plain dict, recursing into nested fields."""
     if value is None:
@@ -236,10 +270,9 @@ def _coerce(dc_type, value):
     for k, v in value.items():
         if k not in fields:
             raise KeyError(f"unknown config key {dc_type.__name__}.{k}")
-        ftype = fields[k].type
         if isinstance(v, list):
             v = tuple(v)
-        kwargs[k] = v
+        kwargs[k] = _coerce_typed(fields[k], v)
     return dc_type(**kwargs)
 
 

@@ -171,6 +171,19 @@ def make_beam_decoder(
     # vocab sizes instead of OOMing [VERDICT.md weak #6].
     n_best = max(1, min(int(getattr(dc, "nbest", 1)), K))
     penalty = float(getattr(dc, "penalty", 0.0))
+    if penalty != 0.0 and dc.length_norm:
+        # penalty*|h| is applied before the /|h| normalization, so its
+        # contribution penalty*L/(L+1) is nearly CONSTANT across lengths
+        # — measured: hypotheses identical at penalty=±5 on the m5 dev
+        # set. The two knobs address the same short-hypothesis bias;
+        # use penalty with length_norm: false.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "decode.penalty=%g has almost no effect with "
+            "decode.length_norm=true (the normalization divides the "
+            "penalty term down to a near-constant offset); set "
+            "length_norm: false to use the insertion penalty", penalty)
     n_cand = int(dc.ctc_score_candidates)
     use_partial = w > 0.0 and 0 < n_cand < V
     if w > 0.0 and not use_partial and V > 512:

@@ -376,12 +376,15 @@ def test_beam_full_width_joint_matches_exhaustive_search():
 
 
 def test_insertion_penalty_lengthens_hypotheses():
-    """decode.penalty: 0 must reproduce the default decode exactly; a
-    strongly positive penalty must not shorten any hypothesis (and a
-    strongly negative one must not lengthen any) — score(h) adds
-    penalty * |h| at finalization only."""
+    """decode.penalty with length_norm OFF (its effective regime — under
+    length normalization the penalty term divides down to a near-constant
+    offset and the decoder warns): 0 must reproduce the default decode
+    exactly; a strongly positive penalty must not shorten any hypothesis
+    (and a strongly negative one must not lengthen any), with a strict
+    aggregate length change between the two extremes."""
     cfg, tok, model, state, audio, audio_len = _tiny_model_setup(seed=6)
     cfg.decode.beam_size = 4
+    cfg.decode.length_norm = False
     base = make_beam_decoder(model, cfg, tok)
     t0, s0 = base(state.params, jnp.asarray(audio), jnp.asarray(audio_len))
 
@@ -400,6 +403,11 @@ def test_insertion_penalty_lengthens_hypotheses():
     shorter = make_beam_decoder(model, cfg, tok)
     ts, _ = shorter(state.params, jnp.asarray(audio), jnp.asarray(audio_len))
     assert all(len(a) <= len(b) for a, b in zip(ts, t0)), (ts, t0)
+    # The knob must actually bite: at -5 every hypothesis collapses
+    # toward empty, at +5 it pads out — the totals must differ unless
+    # the base decode was already all-empty.
+    if any(t0):
+        assert sum(map(len, ts)) < sum(map(len, tl)), (ts, tl)
 
 
 def test_nbest_ordering_and_1best_consistency():

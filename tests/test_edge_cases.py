@@ -130,6 +130,27 @@ train:
     assert c.train.ckpt_dir == "ckpts"
 
 
+def test_yaml_scalar_type_coercion(tmp_path):
+    """YAML 1.1 parses ``1e-10`` as a STRING (wants ``1.0e-10``); the
+    loader must coerce parsed scalars to the dataclass field types so a
+    hand-written config doesn't crash deep inside a jit trace."""
+    from gluon_e2e_asr_tpu.config import load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "frontend:\n  log_floor: 1e-10\n"
+        "data:\n  batch_size: '24'\n  bucket_bounds_sec: [2, 4]\n"
+        "train:\n  dp: 'true'\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.frontend.log_floor == 1e-10
+    assert isinstance(cfg.frontend.log_floor, float)
+    assert cfg.data.batch_size == 24
+    assert cfg.data.bucket_bounds_sec == (2.0, 4.0)
+    assert all(isinstance(b, float) for b in cfg.data.bucket_bounds_sec)
+    assert cfg.train.dp is True
+
+
 def test_minimal_parser_without_pyyaml(monkeypatch):
     """Force the no-pyyaml fallback branch."""
     import builtins
