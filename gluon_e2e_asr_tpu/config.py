@@ -205,6 +205,15 @@ class DecodeConfig:
     # (clamped to beam_size). 1 = classic 1-best records; >1 adds an
     # "nbest" list to each decode JSONL record.
     nbest: int = 1
+    # End detection (Watanabe-style heuristic early stop, OFF by
+    # default = exact search): a sample stops expanding once
+    # `end_detect_m` consecutive output lengths produced no finalized
+    # hypothesis within `end_detect_d` RAW log-prob of its best
+    # finished one. Shaves beam latency on confident models; the
+    # margin is on unnormalized scores (length_norm plays no role).
+    end_detect: bool = False
+    end_detect_m: int = 3
+    end_detect_d: float = 10.0
     output_path: str = "decode.jsonl"
 
 

@@ -184,6 +184,16 @@ def make_beam_decoder(
             "decode.length_norm=true (the normalization divides the "
             "penalty term down to a near-constant offset); set "
             "length_norm: false to use the insertion penalty", penalty)
+    # End detection (opt-in heuristic, Watanabe-style): a sample stops
+    # expanding once M consecutive output lengths produced no finalization
+    # within D raw log-prob of its best finished hypothesis — the standard
+    # early stop of the reference family's beam [SURVEY.md §3.2; ROADMAP
+    # item 6]. Compared on UNNORMALIZED scores (raw log-prob sums), where
+    # the D margin is meaningful; exact-search semantics are preserved
+    # with end_detect=false (the default).
+    use_end_detect = bool(getattr(dc, "end_detect", False))
+    ed_m = int(getattr(dc, "end_detect_m", 3))
+    ed_d = float(getattr(dc, "end_detect_d", 10.0))
     n_cand = int(dc.ctc_score_candidates)
     use_partial = w > 0.0 and 0 < n_cand < V
     if w > 0.0 and not use_partial and V > 512:
@@ -250,6 +260,12 @@ def make_beam_decoder(
             "fin_tokens": jnp.zeros((B, K, Lmax), jnp.int32),
             "fin_len": jnp.zeros((B, K), jnp.int32),
             "fin_score": jnp.full((B, K), NEG_INF),
+            # end-detect state: best RAW (unnormalized) finished score and
+            # the count of consecutive lengths with no finalization within
+            # ed_d of it. Carried (cheaply) even when end_detect is off so
+            # the carry structure is stable.
+            "best_raw": jnp.full((B,), NEG_INF),
+            "end_cnt": jnp.zeros((B,), jnp.int32),
         }
 
         def step(carry, i):
@@ -315,12 +331,19 @@ def make_beam_decoder(
             else:
                 fin_cand_score = eos_score
             # respect per-sample minlen; dead beams never finalize
-            fin_cand_score = jnp.where(
-                (carry["hyp_len"] >= minlen[:, None])
-                & (carry["att_sum"] > NEG_INF / 2),
-                fin_cand_score,
-                NEG_INF,
+            can_fin = (carry["hyp_len"] >= minlen[:, None]) & (
+                carry["att_sum"] > NEG_INF / 2
             )
+            fin_cand_score = jnp.where(can_fin, fin_cand_score, NEG_INF)
+            # end-detect bookkeeping on RAW scores (the D margin is a
+            # log-prob-sum quantity; normalized scores would never move
+            # by D). Cheap [B]-sized math, computed unconditionally.
+            mx_raw = jnp.max(
+                jnp.where(can_fin, eos_score, NEG_INF), axis=1
+            )  # [B]
+            best_raw = jnp.maximum(carry["best_raw"], mx_raw)
+            ended = (mx_raw < best_raw - ed_d) & (best_raw > NEG_INF / 2)
+            end_cnt = jnp.where(ended, carry["end_cnt"] + 1, 0)
             # merge (K finished + K candidates) -> keep top K
             all_scores = jnp.concatenate(
                 [carry["fin_score"], fin_cand_score], axis=1
@@ -348,6 +371,13 @@ def make_beam_decoder(
             # beams of samples past maxlen cannot continue
             past = (i + 1 >= maxlen)[:, None, None]
             cont = jnp.where(past, NEG_INF, cont)
+            if use_end_detect:
+                # end-detected samples stop expanding; their beams die,
+                # their finished buffer freezes, and the all-dead loop
+                # predicate exits once every sample is done.
+                cont = jnp.where(
+                    (end_cnt >= ed_m)[:, None, None], NEG_INF, cont
+                )
             # hypotheses may not exceed the static token buffer
             cont = jnp.where(
                 (carry["hyp_len"] >= Lmax)[..., None], NEG_INF, cont
@@ -416,6 +446,8 @@ def make_beam_decoder(
                 "fin_tokens": fin_tokens,
                 "fin_len": fin_len,
                 "fin_score": top_fin,
+                "best_raw": best_raw,
+                "end_cnt": end_cnt,
             }
             return new_carry, None
 
@@ -439,8 +471,8 @@ def make_beam_decoder(
             carry, _ = step(carry, i)
             return (carry, i + 1)
 
-        final, _ = jax.lax.while_loop(cond_fn, body_fn,
-                                      (init, jnp.int32(0)))
+        final, n_steps = jax.lax.while_loop(cond_fn, body_fn,
+                                            (init, jnp.int32(0)))
         # Top-N finished hypotheses per sample, score-descending (argsort
         # is stable, so N=1 row 0 == the argmax 1-best).
         order = jnp.argsort(-final["fin_score"], axis=1)[:, :n_best]
@@ -449,7 +481,10 @@ def make_beam_decoder(
         )  # [B,N,Lmax]
         nb_len = jnp.take_along_axis(final["fin_len"], order, axis=1)
         nb_score = jnp.take_along_axis(final["fin_score"], order, axis=1)
-        return nb_tokens, nb_len, nb_score
+        # Executed loop-step count, broadcast per sample so it shards
+        # cleanly under DP (shards may exit at different steps).
+        steps = jnp.full((B,), n_steps, jnp.int32)
+        return nb_tokens, nb_len, nb_score, steps
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -461,14 +496,15 @@ def make_beam_decoder(
         # unvarying and become data-varying on step one.
         device_fn = jax.shard_map(
             device_fn, mesh=mesh,
-            in_specs=(P(), d, d), out_specs=(d, d, d), check_vma=False,
+            in_specs=(P(), d, d), out_specs=(d, d, d, d), check_vma=False,
         )
     device_fn = jax.jit(device_fn)
 
     def decode(params, audio, audio_len):
-        tokens, lens, scores = device_fn(params, audio, audio_len)
+        tokens, lens, scores, steps = device_fn(params, audio, audio_len)
         tokens = np.asarray(tokens)
         lens = np.asarray(lens)
+        decode.last_steps = int(np.max(np.asarray(steps)))
         texts = [
             tokenizer.decode(tokens[b, 0, : int(lens[b, 0])])
             for b in range(tokens.shape[0])
@@ -479,8 +515,9 @@ def make_beam_decoder(
         """[[(text, score)] * N] per utterance, score-descending. Slots
         beyond the number of finished hypotheses carry the NEG_INF
         sentinel (-1e30; filter with ``score > NEG_INF / 2``)."""
-        tokens, lens, scores = device_fn(params, audio, audio_len)
+        tokens, lens, scores, steps = device_fn(params, audio, audio_len)
         tokens, lens = np.asarray(tokens), np.asarray(lens)
+        decode.last_steps = int(np.max(np.asarray(steps)))
         scores = np.asarray(scores)
         return [
             [

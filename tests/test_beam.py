@@ -410,6 +410,79 @@ def test_insertion_penalty_lengthens_hypotheses():
         assert sum(map(len, ts)) < sum(map(len, tl)), (ts, tl)
 
 
+def test_end_detect_off_margin_is_exact():
+    """decode.end_detect with an unreachable margin must reproduce the
+    exact search bit-for-bit (plumbing does not perturb the carry), and
+    an always-firing margin must cut the executed loop steps while still
+    returning a finished hypothesis per sample."""
+    cfg, tok, model, state, audio, audio_len = _tiny_model_setup(seed=7)
+    base = make_beam_decoder(model, cfg, tok)
+    t0, s0 = base(state.params, jnp.asarray(audio), jnp.asarray(audio_len))
+    steps_off = base.last_steps
+
+    cfg.decode.end_detect = True
+    cfg.decode.end_detect_d = 1e9  # mx < best - 1e9 never holds
+    exact = make_beam_decoder(model, cfg, tok)
+    t1, s1 = exact(state.params, jnp.asarray(audio), jnp.asarray(audio_len))
+    assert t0 == t1
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    assert exact.last_steps == steps_off
+
+    cfg.decode.end_detect_d = -1e9  # fires m steps after first finish
+    cfg.decode.end_detect_m = 2
+    eager = make_beam_decoder(model, cfg, tok)
+    t2, s2 = eager(state.params, jnp.asarray(audio), jnp.asarray(audio_len))
+    assert eager.last_steps < steps_off
+    assert all(s > NEG_INF / 2 for s in np.asarray(s2)), s2
+
+
+@pytest.mark.slow
+def test_end_detect_default_margin_on_trained_model():
+    """On an overfit model the default D=10/M=3 end detection must keep
+    the 1-best outputs identical while executing FEWER loop steps than
+    the exact search (a confident model's endings leave nothing within
+    the margin afterwards)."""
+    from gluon_e2e_asr_tpu.models.asr import build_model
+    from gluon_e2e_asr_tpu.training.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = Config(
+        model=ModelConfig(enc_hidden=32, enc_layers=1, enc_subsample=(2,),
+                          dec_hidden=32, dec_embed=16, att_dim=16,
+                          att_type="dot"),
+        loss=LossConfig(mtl_alpha=0.3, label_smoothing=0.0),
+        train=TrainConfig(learning_rate=2e-3, warmup_steps=20),
+        decode=DecodeConfig(method="beam", beam_size=4, ctc_weight=0.3,
+                            maxlen_ratio=0.8),
+    )
+    tok = CharTokenizer()
+    model = build_model(cfg, tok.vocab_size, tok.sos_id, tok.eos_id)
+    rng = np.random.RandomState(3)
+    audio = (rng.randn(4, 8000) * 0.1).astype(np.float32)
+    audio_len = np.array([8000, 8000, 7000, 6000], np.int32)
+    labels = rng.randint(4, 10, (4, 5)).astype(np.int32)
+    batch = {
+        "audio": audio, "audio_len": audio_len,
+        "labels": labels, "label_len": np.array([5, 5, 4, 4], np.int32),
+    }
+    state = create_train_state(cfg, model, make_optimizer(cfg), batch)
+    step = make_train_step(model, cfg, make_optimizer(cfg), None, None)
+    for _ in range(300):  # overfit the 4-utt batch
+        state, metrics = step(state, batch)
+    assert float(metrics["loss"]) < 0.5, metrics
+
+    base = make_beam_decoder(model, cfg, tok)
+    t0, _ = base(state.params, jnp.asarray(audio), jnp.asarray(audio_len))
+    cfg.decode.end_detect = True
+    ed = make_beam_decoder(model, cfg, tok)
+    t1, _ = ed(state.params, jnp.asarray(audio), jnp.asarray(audio_len))
+    assert t0 == t1
+    assert ed.last_steps < base.last_steps, (ed.last_steps, base.last_steps)
+
+
 def test_nbest_ordering_and_1best_consistency():
     """decode.nbest returns score-descending lists whose head equals the
     1-best path; finite entries are distinct hypotheses."""
