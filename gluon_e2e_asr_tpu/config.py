@@ -214,7 +214,41 @@ class DecodeConfig:
     end_detect: bool = False
     end_detect_m: int = 3
     end_detect_d: float = 10.0
+    # External-LM shallow fusion (beam only): adds
+    # lm_weight * log p_lm(token) to the joint score — the third term
+    # of the Watanabe-style hybrid decoding objective [SURVEY.md §2.1
+    # #17]. 0.0 = off (the default decode is bit-identical without an
+    # LM). lm_ckpt points at a train_lm.py checkpoint; its vocab
+    # fingerprint is checked against the decode tokenizer.
+    lm_weight: float = 0.0
+    lm_ckpt: str = ""
     output_path: str = "decode.jsonl"
+
+
+@dataclass
+class LMConfig:
+    """External LSTM LM for shallow fusion (``train_lm.py``). Trains on
+    the transcript text of the configured dataset's train manifest —
+    text-only, no audio touched [SURVEY.md §2.1 #17; INFERRED-med:
+    fusion ships off by default, see DecodeConfig.lm_weight]."""
+
+    embed_dim: int = 256
+    hidden: int = 512
+    layers: int = 2
+    # Optional extra text corpus: one sentence per line, appended to the
+    # manifest transcripts (the reference family trains char LMs on much
+    # more text than the paired audio has).
+    extra_text: str = ""
+    # Token buffer: sentences are padded/truncated to this many input
+    # positions (incl. sos) so every batch hits one compiled shape.
+    max_len: int = 128
+    batch_size: int = 64
+    num_epochs: int = 20
+    learning_rate: float = 1e-3
+    warmup_steps: int = 50
+    grad_clip_norm: float = 5.0
+    seed: int = 0
+    ckpt_path: str = "lm/lm.msgpack"
 
 
 @dataclass
@@ -225,6 +259,7 @@ class Config:
     loss: LossConfig = field(default_factory=LossConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     decode: DecodeConfig = field(default_factory=DecodeConfig)
+    lm: LMConfig = field(default_factory=LMConfig)
     name: str = "default"
 
     def to_dict(self) -> Dict[str, Any]:
@@ -327,6 +362,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         "loss": LossConfig,
         "train": TrainConfig,
         "decode": DecodeConfig,
+        "lm": LMConfig,
     }
     kwargs: Dict[str, Any] = {}
     for k, v in (raw or {}).items():

@@ -145,6 +145,7 @@ def make_beam_decoder(
     tokenizer: CharTokenizer,
     cmvn_stats=None,
     mesh=None,
+    lm_bundle=None,
 ) -> Callable:
     """Build the jitted batched beam decoder.
 
@@ -194,6 +195,34 @@ def make_beam_decoder(
     use_end_detect = bool(getattr(dc, "end_detect", False))
     ed_m = int(getattr(dc, "end_detect_m", 3))
     ed_d = float(getattr(dc, "end_detect_d", 10.0))
+    # External-LM shallow fusion (the third term of the Watanabe-style
+    # joint score, off by default): score(h) accumulates
+    # lm_weight * sum_i log p_lm(y_i | y_<i), with the LM's eos
+    # probability entering the finalization score exactly like the
+    # attention decoder's [SURVEY.md §2.1 #17; DecodeConfig.lm_weight].
+    # lm_weight == 0.0 leaves the carry/score math bit-identical to the
+    # LM-free decoder (pinned by tests/test_lm.py).
+    lm_w = float(getattr(dc, "lm_weight", 0.0))
+    use_lm = lm_w != 0.0
+    lm_model, lm_params = lm_bundle if lm_bundle is not None else (None, None)
+    if use_lm and lm_model is None:
+        if not dc.lm_ckpt:
+            raise ValueError(
+                "decode.lm_weight is set but no LM was provided: set "
+                "decode.lm_ckpt (a train_lm.py checkpoint) or pass "
+                "lm_bundle=(model, params)")
+        from gluon_e2e_asr_tpu.models.lm import load_lm
+
+        lm_model, lm_params, lm_meta = load_lm(dc.lm_ckpt)
+        if int(lm_meta["vocab_size"]) != V:
+            raise ValueError(
+                f"LM vocab_size {lm_meta['vocab_size']} != decode "
+                f"tokenizer vocab_size {V}")
+        if lm_meta.get("vocab") and lm_meta["vocab"] != tokenizer.to_json():
+            raise ValueError(
+                "LM checkpoint vocab differs from the decode tokenizer "
+                "(same sizes, different symbol table) — retrain the LM "
+                "on this vocab")
     n_cand = int(dc.ctc_score_candidates)
     use_partial = w > 0.0 and 0 < n_cand < V
     if w > 0.0 and not use_partial and V > 512:
@@ -209,7 +238,7 @@ def make_beam_decoder(
             "(each step keeps K continuations drawn from the candidates)"
         )
 
-    def device_fn(params, audio, audio_len):
+    def device_fn(params, lm_ps, audio, audio_len):
         feats, feat_len = frontend_apply(
             config.frontend, audio, audio_len, train=False,
             cmvn_stats=cmvn_stats,
@@ -267,6 +296,11 @@ def make_beam_decoder(
             "best_raw": jnp.full((B,), NEG_INF),
             "end_cnt": jnp.zeros((B,), jnp.int32),
         }
+        if use_lm:
+            init["lm_state"] = lm_model.apply(
+                {"params": lm_ps}, B * K, method=lm_model.init_state
+            )
+            init["lm_sum"] = jnp.zeros((B, K), jnp.float32)
 
         def step(carry, i):
             # ---- attention decoder step for all (B*K) beams ----
@@ -285,6 +319,19 @@ def make_beam_decoder(
                 method=model.decoder_step_beam,
             )
             att_logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+
+            # ---- external LM step (shallow fusion) ----
+            # The LM consumes the SAME token stream as the attention
+            # decoder (sos first, then the chosen extension), so its
+            # state reindexes by the same parent gather below.
+            if use_lm:
+                lm_state_new, lm_logits = lm_model.apply(
+                    {"params": lm_ps}, carry["lm_state"], tok_in,
+                    method=lm_model.step,
+                )
+                lm_total = carry["lm_sum"][..., None] + jax.nn.log_softmax(
+                    lm_logits, axis=-1
+                ).reshape(B, K, V)  # [B,K,V] accumulated LM scores
 
             # blank/sos/eos/unk never continue a hypothesis (eos is handled
             # by the finished buffer; unk is excluded from generation)
@@ -317,6 +364,12 @@ def make_beam_decoder(
                 att_cont = att_total
                 tok_bad = jnp.broadcast_to(bad[None, None, :], (B, K, V))
             joint = (1.0 - w) * att_cont + w * psi  # [B,K,n_ext]
+            if use_lm:
+                lm_cont = (
+                    jnp.take_along_axis(lm_total, cand, axis=2)
+                    if use_partial else lm_total
+                )
+                joint = joint + lm_w * lm_cont
 
             # ---- eos candidates -> finished buffer (length-normalized) ----
             # Token insertion penalty: score(h) += penalty * |h|. All live
@@ -325,6 +378,8 @@ def make_beam_decoder(
             # shifts — the reference family's beam knob.
             eos_score = ((1.0 - w) * att_total[..., eos_id] + w * full_prob
                          + penalty * carry["hyp_len"].astype(jnp.float32))
+            if use_lm:
+                eos_score = eos_score + lm_w * lm_total[..., eos_id]
             new_len = carry["hyp_len"] + 1  # includes eos
             if dc.length_norm:
                 fin_cand_score = eos_score / new_len.astype(jnp.float32)
@@ -449,6 +504,14 @@ def make_beam_decoder(
                 "best_raw": best_raw,
                 "end_cnt": end_cnt,
             }
+            if use_lm:
+                new_carry["lm_sum"] = jnp.take_along_axis(
+                    lm_cont.reshape(B, K * n_ext), top_idx, axis=1
+                )
+                new_carry["lm_state"] = {
+                    "h": lm_state_new["h"][:, flat_parent],
+                    "c": lm_state_new["c"][:, flat_parent],
+                }
             return new_carry, None
 
         # Early termination: beyond every sample's per-utterance maxlen all
@@ -496,12 +559,17 @@ def make_beam_decoder(
         # unvarying and become data-varying on step one.
         device_fn = jax.shard_map(
             device_fn, mesh=mesh,
-            in_specs=(P(), d, d), out_specs=(d, d, d, d), check_vma=False,
+            in_specs=(P(), P(), d, d), out_specs=(d, d, d, d),
+            check_vma=False,
         )
     device_fn = jax.jit(device_fn)
+    # Empty pytree when fusion is off: one signature either way (and the
+    # jitted fn never traces LM code at lm_weight == 0).
+    lm_arg = lm_params if use_lm else ()
 
     def decode(params, audio, audio_len):
-        tokens, lens, scores, steps = device_fn(params, audio, audio_len)
+        tokens, lens, scores, steps = device_fn(params, lm_arg, audio,
+                                                audio_len)
         tokens = np.asarray(tokens)
         lens = np.asarray(lens)
         decode.last_steps = int(np.max(np.asarray(steps)))
@@ -515,7 +583,8 @@ def make_beam_decoder(
         """[[(text, score)] * N] per utterance, score-descending. Slots
         beyond the number of finished hypotheses carry the NEG_INF
         sentinel (-1e30; filter with ``score > NEG_INF / 2``)."""
-        tokens, lens, scores, steps = device_fn(params, audio, audio_len)
+        tokens, lens, scores, steps = device_fn(params, lm_arg, audio,
+                                                audio_len)
         tokens, lens = np.asarray(tokens), np.asarray(lens)
         decode.last_steps = int(np.max(np.asarray(steps)))
         scores = np.asarray(scores)
