@@ -22,6 +22,14 @@ class DataConfig:
     train_manifest: str = ""
     dev_manifest: str = ""
     sample_rate: int = 16000
+    # Label units [SURVEY.md §2.1 #2]: "char" (fixed alphabet) or "bpe"
+    # (subword merges learned from the train transcripts at startup,
+    # serialized into the checkpoint meta; decode restores them from
+    # there). BPE shortens label sequences and is the customary unit for
+    # LibriSpeech recipes in this model family; beam decode at BPE vocab
+    # sizes requires decode.ctc_cand > 0 (partial CTC scoring).
+    tokenizer: str = "char"
+    bpe_vocab_size: int = 256  # total ids incl. specials + single chars
     # Synthetic dataset knobs (no LibriSpeech on this machine; SURVEY §0).
     synth_num_train: int = 64
     synth_num_dev: int = 16

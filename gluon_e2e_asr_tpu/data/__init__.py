@@ -1,4 +1,9 @@
-from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+from gluon_e2e_asr_tpu.data.tokenizer import (
+    CharTokenizer,
+    SubwordTokenizer,
+    build_tokenizer,
+    tokenizer_from_json,
+)
 from gluon_e2e_asr_tpu.data.manifest import (
     Utterance,
     build_synthetic_manifest,

@@ -26,7 +26,7 @@ import numpy as np
 from gluon_e2e_asr_tpu.config import Config, apply_overrides, load_config
 from gluon_e2e_asr_tpu.data.loader import DataLoader
 from gluon_e2e_asr_tpu.data.sampler import BucketSampler, make_bucket_specs
-from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer, tokenizer_from_json
 from gluon_e2e_asr_tpu.decoding.beam import NEG_INF as BEAM_NEG_INF
 from gluon_e2e_asr_tpu.decoding.greedy import ids_to_texts, make_greedy_decoder
 from gluon_e2e_asr_tpu.eval.metrics import cer, edit_distance, wer
@@ -70,7 +70,18 @@ def main(argv=None):
 
     warm_device_transfer()
 
+    # The tokenizer decides the model head width, so it must be known
+    # before the restore template is built. Peek the checkpoint's meta
+    # sidecar: every trainer checkpoint serializes the exact vocab it
+    # trained with (char or BPE); a bare payload with no sidecar falls
+    # back to the default char vocab (the historical behavior).
     tokenizer = CharTokenizer()
+    meta_path = args.ckpt + ".json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            _meta0 = json.load(f)
+        if _meta0.get("vocab"):
+            tokenizer = tokenizer_from_json(_meta0["vocab"])
     _, dev_utts = build_datasets(config)
     specs = make_bucket_specs(
         config.data.bucket_bounds_sec, config.data.sample_rate,
@@ -93,8 +104,6 @@ def main(argv=None):
          "labels": first.labels, "label_len": first.label_len},
     )
     state, cmvn_stats, meta = restore_checkpoint(args.ckpt, template)
-    if meta.get("vocab"):
-        tokenizer = CharTokenizer.from_json(meta["vocab"])
 
     mesh = None
     if config.decode.dp:

@@ -32,22 +32,28 @@ import numpy as np
 import optax
 
 from gluon_e2e_asr_tpu.config import Config, apply_overrides, load_config
-from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer, build_tokenizer
 from gluon_e2e_asr_tpu.models.lm import build_lm, save_lm
 from gluon_e2e_asr_tpu.utils.logging import JsonlLogger
 
 
-def gather_texts(config: Config) -> tuple[List[str], List[str]]:
-    """(train_texts, dev_texts) from the dataset manifests + extra_text."""
+def gather_texts(config: Config) -> tuple[List[str], List[str], List[str]]:
+    """(vocab_texts, train_texts, dev_texts) from the manifests.
+
+    ``vocab_texts`` is the manifest transcripts ONLY — the tokenizer
+    must be built from exactly what the ASR trainer sees so the vocab
+    fingerprints match at fusion time; ``lm.extra_text`` lines join the
+    LM training stream but never the vocab construction."""
     from gluon_e2e_asr_tpu.training.trainer import build_datasets
 
     train_utts, dev_utts = build_datasets(config)
-    train = [u.text for u in train_utts]
+    vocab_texts = [u.text for u in train_utts]
+    train = list(vocab_texts)
     dev = [u.text for u in dev_utts]
     if config.lm.extra_text:
         with open(config.lm.extra_text) as f:
             train += [ln.strip() for ln in f if ln.strip()]
-    return train, dev
+    return vocab_texts, train, dev
 
 
 def make_batches(texts: List[str], tokenizer: CharTokenizer, max_len: int,
@@ -132,8 +138,11 @@ def dev_perplexity(eval_step, params, texts, tokenizer, lc) -> float:
 
 def train_lm(config: Config, workdir: str = ".") -> dict:
     lc = config.lm
-    tokenizer = CharTokenizer()
-    train_texts, dev_texts = gather_texts(config)
+    vocab_texts, train_texts, dev_texts = gather_texts(config)
+    # Same construction rule as the ASR trainer (data.tokenizer), so a
+    # fused/rescoring LM built from the same config shares the ASR
+    # vocab bit-for-bit (beam.py cross-checks the fingerprints).
+    tokenizer = build_tokenizer(config, vocab_texts)
     model = build_lm(config, tokenizer.vocab_size)
     params = model.init(
         jax.random.PRNGKey(lc.seed),

@@ -25,7 +25,7 @@ from gluon_e2e_asr_tpu.data.manifest import (
     load_manifest,
 )
 from gluon_e2e_asr_tpu.data.sampler import BucketSampler, make_bucket_specs
-from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+from gluon_e2e_asr_tpu.data.tokenizer import build_tokenizer
 from gluon_e2e_asr_tpu.decoding.greedy import ids_to_texts, make_greedy_decoder
 from gluon_e2e_asr_tpu.eval.metrics import cer, wer
 from gluon_e2e_asr_tpu.models.asr import build_model
@@ -74,7 +74,8 @@ class Trainer:
         )
 
         self.train_utts, self.dev_utts = build_datasets(config)
-        self.tokenizer = CharTokenizer()
+        self.tokenizer = build_tokenizer(
+            config, (u.text for u in self.train_utts))
         specs = make_bucket_specs(
             config.data.bucket_bounds_sec,
             config.data.sample_rate,
@@ -209,6 +210,18 @@ class Trainer:
         self.state, cmvn, meta = restore_checkpoint(path, self.state)
         if cmvn is not None:
             self.cmvn_stats = cmvn
+        # Vocab identity is load-bearing (model head width, label ids):
+        # a resumed run must rebuild the exact tokenizer the checkpoint
+        # trained with. Char and BPE construction are both deterministic
+        # given the same config + manifest, so mismatch means the data
+        # or config changed under the run — fail loudly.
+        if meta.get("vocab_hash") and (
+                meta["vocab_hash"] != self.tokenizer.fingerprint()):
+            raise ValueError(
+                f"resume vocab mismatch: checkpoint {path} was trained "
+                f"with vocab {meta['vocab_hash']}, this run built "
+                f"{self.tokenizer.fingerprint()} (did data.tokenizer / "
+                f"the train manifest change?)")
         # Exact resume [SURVEY.md §5 failure detection]: a mid-epoch
         # checkpoint records how many batches of its epoch were consumed;
         # the deterministic (seed, epoch)-keyed sampler then replays the

@@ -121,7 +121,7 @@ def test_lm_overfit_reduces_perplexity(tmp_path):
     # instead train on extra_text = the dev transcripts.
     from gluon_e2e_asr_tpu.train_lm import gather_texts
 
-    _, dev_texts = gather_texts(cfg)
+    _, _, dev_texts = gather_texts(cfg)
     extra = tmp_path / "text.txt"
     extra.write_text("\n".join(dev_texts) + "\n")
     cfg.data.synth_num_train = 0

@@ -47,12 +47,13 @@ def main(argv=None):
     p.add_argument("--output", default="")
     args = p.parse_args(argv)
 
-    from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+    from gluon_e2e_asr_tpu.data.tokenizer import (CharTokenizer,
+                                                    tokenizer_from_json)
     from gluon_e2e_asr_tpu.eval.metrics import edit_distance, wer
     from gluon_e2e_asr_tpu.models.lm import lm_logprob_batch, load_lm
 
     model, params, meta = load_lm(args.lm)
-    tokenizer = (CharTokenizer.from_json(meta["vocab"])
+    tokenizer = (tokenizer_from_json(meta["vocab"])
                  if meta.get("vocab") else CharTokenizer())
 
     records = []
