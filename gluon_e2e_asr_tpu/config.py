@@ -27,7 +27,7 @@ class DataConfig:
     # serialized into the checkpoint meta; decode restores them from
     # there). BPE shortens label sequences and is the customary unit for
     # LibriSpeech recipes in this model family; beam decode at BPE vocab
-    # sizes requires decode.ctc_cand > 0 (partial CTC scoring).
+    # sizes requires decode.ctc_score_candidates > 0 (partial CTC scoring).
     tokenizer: str = "char"
     bpe_vocab_size: int = 256  # total ids incl. specials + single chars
     # Synthetic dataset knobs (no LibriSpeech on this machine; SURVEY §0).

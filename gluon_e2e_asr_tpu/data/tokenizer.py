@@ -7,7 +7,7 @@ subword tokenizer extends the same id contract to BPE units — the ASR
 family this stack rebuilds commonly trains LibriSpeech recipes on
 subword targets, and the batched beam already carries a chunked
 partial-CTC scoring path sized for BPE vocabularies
-(``decoding/beam.py``, ``config.py ctc_cand``).
+(``decoding/beam.py``, ``config.py ctc_score_candidates``).
 
 Id layout (deterministic, serialized with checkpoints):
   0 = <blank>   (CTC blank; also the label-pad id — always masked)
