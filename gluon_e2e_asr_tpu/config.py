@@ -46,6 +46,11 @@ class DataConfig:
     max_label_len: int = 320
     shuffle: bool = True
     drop_last: bool = False
+    # SortaGrad (the reference family's curriculum knob): run the first N
+    # epochs shortest-utterance-first with no shuffle, then switch to the
+    # normal per-epoch shuffle. Stabilizes early CTC training on real
+    # corpora; 0 = off.
+    sortagrad_epochs: int = 0
     # Host/device overlap: batches ahead to assemble in a background
     # thread while the device steps (0 = synchronous). On an on-disk
     # corpus the C++ read+decode+pack otherwise serializes with the step
@@ -150,6 +155,15 @@ class TrainConfig:
     warmup_steps: int = 100
     weight_decay: float = 0.0
     grad_clip_norm: float = 5.0
+    # Gradient accumulation (the reference family's accum_grad knob):
+    # sum num_real-weighted gradients over this many consecutive batches
+    # and apply ONE optimizer update with their global mean — numerically
+    # the update a single batch of the combined size would take (exact up
+    # to float summation order; tests/test_accum.py). step / max_steps /
+    # LR schedule / checkpoints all count OPTIMIZER steps, and
+    # checkpoints only land on accumulation boundaries so mid-epoch
+    # resume stays bitwise-exact. 1 = off.
+    accum_grad_steps: int = 1
     # Data parallelism over ICI [BASELINE.json:L5,L10].
     dp: bool = False
     # DP mechanism: "shard_map" (explicit per-shard program + psum(grads);

@@ -75,11 +75,19 @@ class BucketSampler:
         seed: int = 0,
         shuffle: bool = True,
         drop_last: bool = False,
+        sortagrad_epochs: int = 0,
     ):
         self.specs = list(specs)
         self.seed = seed
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # SortaGrad (the reference family's curriculum knob): the first N
+        # epochs run shortest-utterance-first with no shuffle (stabilizes
+        # early CTC training); epoch N onward uses the normal
+        # (seed, epoch)-keyed shuffle. Still a pure function of the epoch
+        # number, so mid-epoch resume replays identically.
+        self.sortagrad_epochs = int(sortagrad_epochs)
+        self._durations = [float(u.duration) for u in utts]
         self.assignments: List[List[int]] = [[] for _ in self.specs]
         self.skipped: List[int] = []
         for i, u in enumerate(utts):
@@ -105,11 +113,18 @@ class BucketSampler:
 
     def epoch_batches(self, epoch: int) -> Iterator[tuple]:
         """Yield (bucket_index, [utt indices]) batches for one epoch."""
+        sorta = epoch < self.sortagrad_epochs
+        shuffle = self.shuffle and not sorta
         rng = np.random.RandomState((self.seed * 1000003 + epoch) & 0x7FFFFFFF)
         all_batches = []
         for b, idxs in enumerate(self.assignments):
             order = np.array(idxs, dtype=np.int64)
-            if self.shuffle:
+            if sorta:
+                # shortest first within the bucket (stable: ties keep
+                # manifest order); buckets are already duration-ordered.
+                order = order[np.argsort(
+                    [self._durations[i] for i in idxs], kind="stable")]
+            elif shuffle:
                 rng.shuffle(order)
             bs = self.specs[b].batch_size
             for s in range(0, len(order), bs):
@@ -117,6 +132,6 @@ class BucketSampler:
                 if len(chunk) < bs and self.drop_last:
                     continue
                 all_batches.append((b, chunk.tolist()))
-        if self.shuffle:
+        if shuffle:
             rng.shuffle(all_batches)
         yield from all_batches

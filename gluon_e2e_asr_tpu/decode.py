@@ -29,7 +29,9 @@ from gluon_e2e_asr_tpu.data.sampler import BucketSampler, make_bucket_specs
 from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer, tokenizer_from_json
 from gluon_e2e_asr_tpu.decoding.beam import NEG_INF as BEAM_NEG_INF
 from gluon_e2e_asr_tpu.decoding.greedy import ids_to_texts, make_greedy_decoder
-from gluon_e2e_asr_tpu.eval.metrics import cer, edit_distance, wer
+from gluon_e2e_asr_tpu.eval.metrics import (
+    cer, edit_distance, error_report, wer,
+)
 from gluon_e2e_asr_tpu.models.asr import build_model
 from gluon_e2e_asr_tpu.training.checkpoint import restore_checkpoint
 from gluon_e2e_asr_tpu.training.train_step import (
@@ -198,6 +200,13 @@ def main(argv=None):
         "latency_basis": "batch-amortized-per-utt",
         "p50_latency_s": round(percentile(latencies, 50), 5),
         "output": out_path,
+    }
+    # sclite-style S/D/I decomposition (sums to the wer above): the
+    # reference family's detailed error report [SURVEY.md §2.1 #19].
+    rep = error_report(refs, hyps, unit="word")
+    result["errors"] = {
+        k: (round(v, 4) if isinstance(v, float) else v)
+        for k, v in rep.items() if k != "unit"
     }
     if oracle_hyps:
         # Best achievable WER picking per-utterance from the n-best list

@@ -333,6 +333,115 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_grad_step(
+    model: ASRModel,
+    config: Config,
+    mesh=None,
+    cmvn_stats=None,
+):
+    """Micro-batch half of gradient accumulation [SURVEY.md §2.1 #14; the
+    reference family's ``accum_grad`` knob — train.accum_grad_steps].
+
+    Returns a jitted ``(state, batch) -> (state, grads, metrics)`` where
+    ``grads`` are the micro-batch gradients WEIGHTED by its (global)
+    real-row count and ``state`` only advances the PRNG — the optimizer
+    step is applied separately by :func:`make_apply_step`. Because
+    ``compute_loss`` is a mean over real rows, ``sum_i(n_i * g_i) /
+    sum_i(n_i)`` reproduces the gradient of one combined batch exactly
+    (up to float summation order). DP mirrors ``make_train_step``:
+    psum'd grads/metrics, per-shard PRNG."""
+
+    def grad_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                axis_name: Optional[str] = None):
+        new_rng, step_rng = jax.random.split(state.rng)
+        if axis_name is not None:
+            step_rng = jax.random.fold_in(
+                step_rng, jax.lax.axis_index(axis_name)
+            )
+        (_, metrics), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(
+            state.params,
+            batch,
+            step_rng,
+            model=model,
+            config=config,
+            cmvn_stats=cmvn_stats,
+            train=True,
+            axis_name=axis_name,
+            step=state.step,
+        )
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+            for k in ("loss", "loss_ctc", "loss_att"):
+                metrics[k] = jax.lax.psum(metrics[k], axis_name)
+        n = jnp.maximum(metrics["num_real"].astype(jnp.float32), 1.0)
+        grads = jax.tree.map(lambda g: g * n, grads)
+        new_state = state.replace(rng=new_rng)
+        return new_state, grads, metrics
+
+    if mesh is not None and config.train.dp_impl == "shard_map":
+        from jax.sharding import PartitionSpec as P
+
+        from gluon_e2e_asr_tpu.parallel.mesh import DATA_AXIS
+
+        data_spec = P(DATA_AXIS)
+        batch_specs = {
+            "audio": data_spec, "audio_len": data_spec,
+            "labels": data_spec, "label_len": data_spec,
+        }
+        sharded_fn = jax.shard_map(
+            functools.partial(grad_fn, axis_name=DATA_AXIS),
+            mesh=mesh,
+            in_specs=(P(), batch_specs),
+            out_specs=(P(), P(), P()),
+            check_vma=False,  # see make_train_step
+        )
+        return jax.jit(sharded_fn, donate_argnums=(0,))
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        batch_shardings = {
+            "audio": data, "audio_len": data, "labels": data, "label_len": data,
+        }
+        return jax.jit(
+            grad_fn,
+            in_shardings=(repl, batch_shardings),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(grad_fn, donate_argnums=(0,))
+
+
+def make_apply_step(tx: optax.GradientTransformation):
+    """Optimizer half of gradient accumulation: divide the accumulated
+    num_real-weighted gradient sum by the total real-row count and take
+    one optax update (clip included — it sees the combined-batch mean
+    gradient, matching the unaccumulated step's clipping point)."""
+
+    def apply_fn(state: TrainState, grads, total_n):
+        scale = 1.0 / jnp.maximum(total_n.astype(jnp.float32), 1.0)
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            rng=state.rng,
+        )
+        return new_state, grad_norm
+
+    return jax.jit(apply_fn, donate_argnums=(0, 1))
+
+
+# On-device pytree accumulate for gradient accumulation (donates the old
+# accumulator: no HBM growth across micro-batches).
+accumulate_grads = jax.jit(
+    lambda acc, g: jax.tree.map(jnp.add, acc, g), donate_argnums=(0,))
+
+
 def make_eval_loss_step(model: ASRModel, config: Config, cmvn_stats=None):
     """Jitted dev-loss pass (no SpecAugment / dropout / scheduled sampling)."""
 

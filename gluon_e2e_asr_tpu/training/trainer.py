@@ -36,8 +36,11 @@ from gluon_e2e_asr_tpu.training.checkpoint import (
     save_checkpoint,
 )
 from gluon_e2e_asr_tpu.training.train_step import (
+    accumulate_grads,
     create_train_state,
+    make_apply_step,
     make_eval_loss_step,
+    make_grad_step,
     make_optimizer,
     make_train_step,
 )
@@ -88,6 +91,7 @@ class Trainer:
             self.train_utts, specs, config.data.sample_rate,
             seed=config.train.seed, shuffle=config.data.shuffle,
             drop_last=config.data.drop_last,
+            sortagrad_epochs=config.data.sortagrad_epochs,
         )
         self.loader = DataLoader(
             self.train_utts, self.sampler, self.tokenizer,
@@ -158,6 +162,17 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, config, self.tx, self.mesh, self.cmvn_stats
         )
+        # Gradient accumulation (train.accum_grad_steps > 1): micro-batch
+        # grad step + separate optimizer apply [SURVEY.md §2.1 #14].
+        self.accum = max(1, int(config.train.accum_grad_steps))
+        if self.accum > 1:
+            self.grad_step = make_grad_step(
+                self.model, config, self.mesh, self.cmvn_stats)
+            self.apply_step = make_apply_step(self.tx)
+        self._acc = None  # weighted-grad sum pytree
+        self._acc_m = None  # weighted loss-metric sums
+        self._acc_n = None  # total real rows in the open group
+        self._micro = 0  # micro-batches in the open group
         # Dev eval decoder follows decode.method: greedy CTC needs a trained
         # CTC head (mtl_alpha > 0); pure-attention configs (milestone 3)
         # evaluate with the att-only beam. Under DP the eval shards the
@@ -249,6 +264,35 @@ class Trainer:
             return shard_batch_arrays(self.mesh, arrays)
         return arrays
 
+    def _accum_micro(self, batch):
+        """One accumulation micro-batch. Returns (metrics, stepped):
+        metrics is None until the group's optimizer apply fires."""
+        self.state, grads, m = self.grad_step(self.state, batch)
+        n = m["num_real"].astype(jnp.float32)
+        sums = {k: m[k] * n
+                for k in ("loss", "loss_ctc", "loss_att", "att_acc")}
+        if self._acc is None:
+            self._acc, self._acc_m, self._acc_n = grads, sums, n
+        else:
+            self._acc = accumulate_grads(self._acc, grads)
+            self._acc_m = {k: self._acc_m[k] + sums[k] for k in sums}
+            self._acc_n = self._acc_n + n
+        self._micro += 1
+        if self._micro < self.accum:
+            return None, False
+        return self._flush_accum(), True
+
+    def _flush_accum(self):
+        """Apply the open accumulation group; returns combined metrics."""
+        self.state, grad_norm = self.apply_step(
+            self.state, self._acc, self._acc_n)
+        n = jnp.maximum(self._acc_n, 1.0)
+        metrics = {k: v / n for k, v in self._acc_m.items()}
+        metrics["grad_norm"] = grad_norm
+        metrics["num_real"] = self._acc_n
+        self._acc, self._acc_m, self._acc_n, self._micro = None, None, None, 0
+        return metrics
+
     def train(self) -> Dict[str, float]:
         cfg = self.config
         tc = cfg.train
@@ -275,8 +319,14 @@ class Trainer:
                         jax.profiler.start_trace(tc.profile_dir)
                         profiling = True
                     batch = self._device_batch(b)
-                    self.state, metrics = self.train_step(self.state, batch)
-                    step += 1
+                    if self.accum == 1:
+                        self.state, metrics = self.train_step(
+                            self.state, batch)
+                        stepped = True
+                    else:
+                        metrics, stepped = self._accum_micro(batch)
+                    if stepped:
+                        step += 1
                     if profiling and step >= tc.profile_start_step + tc.profile_num_steps:
                         jax.block_until_ready(self.state.params)
                         jax.profiler.stop_trace()
@@ -285,7 +335,7 @@ class Trainer:
                     window_utts += b.num_real
                     window_tokens += int(b.label_len.sum())
                     tokens_done += int(b.label_len.sum())
-                    if step % tc.log_every_steps == 0:
+                    if stepped and step % tc.log_every_steps == 0:
                         metrics = jax.device_get(metrics)
                         dt = time.perf_counter() - window_t0
                         rec = {
@@ -308,10 +358,21 @@ class Trainer:
                         self.logger.log(rec)
                         window_t0, window_utts, window_tokens = (
                             time.perf_counter(), 0, 0)
-                    if tc.ckpt_every_steps and step % tc.ckpt_every_steps == 0:
+                    # `stepped` keeps mid-epoch checkpoints on accumulation
+                    # boundaries (no partial grad group to lose on resume).
+                    if (stepped and tc.ckpt_every_steps
+                            and step % tc.ckpt_every_steps == 0):
                         self._checkpoint(epoch, None, batches_done=batch_idx + 1)
             finally:
                 prefetch.close()
+            if self._micro > 0 and stopped_at < 0:
+                # Epoch length not divisible by accum_grad_steps: apply
+                # the remainder group (its samples still count once, with
+                # the group's own exact mean). max_steps breaks always
+                # land on group boundaries (step only moves at applies),
+                # so no group is ever abandoned.
+                self._flush_accum()
+                step += 1
             if stopped_at >= 0:
                 # max_steps hit mid-epoch: checkpoint with the resume
                 # position instead of marking the epoch complete.

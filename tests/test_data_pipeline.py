@@ -59,6 +59,33 @@ def test_bucket_sampler_epoch_determinism():
     assert list(s1.epoch_batches(3)) != list(s1.epoch_batches(4))
 
 
+def test_bucket_sampler_sortagrad():
+    """First N epochs run shortest-first unshuffled; later epochs shuffle
+    as usual; everything stays a pure function of the epoch number."""
+    utts = build_synthetic_manifest(40, seed=9)
+    specs = make_bucket_specs([2.0, 4.0], 16000, 4, 32)
+    s = BucketSampler(utts, specs, 16000, seed=5, shuffle=True,
+                      sortagrad_epochs=1)
+
+    def flat(epoch):
+        out = []
+        for _, idxs in s.epoch_batches(epoch):
+            out.extend(idxs)
+        return out
+
+    e0 = flat(0)
+    durs = [utts[i].duration for i in e0]
+    assert durs == sorted(durs)  # global shortest-first (buckets ordered)
+    assert e0 == flat(0)  # deterministic replay (resume contract)
+    e1 = flat(1)
+    assert sorted(e1) == sorted(e0)  # same coverage
+    d1 = [utts[i].duration for i in e1]
+    assert d1 != sorted(d1)  # epoch 1 is shuffled again
+    # Plain sampler ignores the knob entirely.
+    s_off = BucketSampler(utts, specs, 16000, seed=5, shuffle=True)
+    assert flat(1) == [i for _, idxs in s_off.epoch_batches(1) for i in idxs]
+
+
 def test_loader_batch_shapes():
     utts = build_synthetic_manifest(20, seed=2)
     specs = make_bucket_specs([2.0, 4.0], 16000, 8, 32)
