@@ -59,8 +59,10 @@ class ASRModel(nn.Module):
     def decoder_init_state(self, batch, enc_frames):
         return self.decoder.init_state(batch, enc_frames)
 
-    def decoder_step(self, state, token, enc, enc_proj, enc_mask):
-        return self.decoder.step(state, token, enc, enc_proj, enc_mask)
+    def decoder_step(self, state, token, enc, enc_proj, enc_mask,
+                     loc_band=None):
+        return self.decoder.step(state, token, enc, enc_proj, enc_mask,
+                                 loc_band)
 
     def decoder_init_state_beam(self, batch, beams, enc_frames):
         return self.decoder.init_state_beam(batch, beams, enc_frames)
