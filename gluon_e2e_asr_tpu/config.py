@@ -191,7 +191,13 @@ class TrainConfig:
 class DecodeConfig:
     """L5 decoding [BASELINE.json:L7,L11]."""
 
-    method: str = "greedy"  # "greedy" | "beam"
+    # "greedy" (framewise CTC argmax+collapse), "beam" (joint
+    # CTC/attention beam — needs the attention decoder), or "ctc_beam"
+    # (decoder-free label-synchronous CTC prefix beam: every extension
+    # ranked by its EXACT prefix probability, finalization scored by the
+    # full CTC likelihood; serves CTC-only models and composes with
+    # decode.lm_weight fusion and the shared beam knobs below).
+    method: str = "greedy"
     beam_size: int = 10
     # Joint score weight: score = ctc_weight * ctc_prefix + (1-w) * att.
     ctc_weight: float = 0.3

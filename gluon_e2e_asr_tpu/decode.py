@@ -121,7 +121,8 @@ def main(argv=None):
             raise ValueError(
                 f"decode.dp needs every bucket batch size divisible by the "
                 f"device count ({ndev}); got {bad_bs}")
-    if config.decode.method == "beam":
+    is_beam = config.decode.method in ("beam", "ctc_beam")
+    if is_beam:
         from gluon_e2e_asr_tpu.decoding.beam import make_beam_decoder
 
         decoder = make_beam_decoder(model, config, tokenizer, cmvn_stats,
@@ -149,12 +150,12 @@ def main(argv=None):
             warmed.add(b.bucket)
         t0 = time.perf_counter()
         nbest_lists = None
-        if config.decode.method == "beam" and config.decode.nbest > 1:
+        if is_beam and config.decode.nbest > 1:
             nbest_lists = decoder.nbest(state.params, jnp.asarray(b.audio),
                                         jnp.asarray(b.audio_len))
             texts = [nb[0][0] for nb in nbest_lists]
             scores = [nb[0][1] for nb in nbest_lists]
-        elif config.decode.method == "beam":
+        elif is_beam:
             texts, scores = decoder(state.params, jnp.asarray(b.audio),
                                     jnp.asarray(b.audio_len))
         else:

@@ -164,8 +164,22 @@ def make_beam_decoder(
     eos_id = tokenizer.eos_id
     unk_id = tokenizer.unk_id
     V = tokenizer.vocab_size
-    if not model.use_decoder:
-        raise ValueError("beam decoding requires the attention decoder")
+    # decode.method == "ctc_beam": decoder-free label-synchronous CTC
+    # prefix beam search [SURVEY.md §2.1 #17 family; PAPERS.md CTC-decode
+    # prior art] — each step extends every prefix by every token and
+    # ranks by the EXACT prefix probability psi (which already sums over
+    # all alignments, so unlike frame-synchronous prefix beams there are
+    # no duplicate prefixes to merge: distinct parents yield distinct
+    # children). Ranking weight is forced to w=1 (pure CTC); the
+    # finalization score is the full CTC probability of the prefix.
+    # Serves CTC-only models (milestone 1) and composes with LM fusion.
+    use_dec = dc.method != "ctc_beam"
+    if not use_dec:
+        w = 1.0
+    if not model.use_decoder and use_dec:
+        raise ValueError(
+            "beam decoding requires the attention decoder (CTC-only "
+            "models decode with method=greedy or method=ctc_beam)")
     # Partial CTC scoring: restrict extensions to the top-N tokens by
     # attention log-prob per beam. Full-vocab scoring materializes
     # [T, B, K, V, 2] prefix states per step — refuse that loudly at BPE
@@ -253,18 +267,36 @@ def make_beam_decoder(
         enc_mask = (jnp.arange(T)[None, :] < enc_len[:, None]).astype(
             jnp.float32
         )
-        # Encoder tensors stay [B,T,*]; only the small decoder state
-        # carries the beam axis (no K-fold replication of enc/enc_proj).
-        enc_proj = model.apply(
-            {"params": params}, enc, method=model.decoder_precompute
-        )
-        dec_state0 = model.apply(
-            {"params": params}, B, K, T, method=model.decoder_init_state_beam
-        )
-        # Location-attention band matrix: built once, outside the scan.
-        loc_band = model.apply(
-            {"params": params}, T, method=model.decoder_loc_band
-        )
+        if use_dec:
+            # Encoder tensors stay [B,T,*]; only the small decoder state
+            # carries the beam axis (no K-fold replication of enc/enc_proj).
+            enc_proj = model.apply(
+                {"params": params}, enc, method=model.decoder_precompute
+            )
+            dec_state0 = model.apply(
+                {"params": params}, B, K, T,
+                method=model.decoder_init_state_beam
+            )
+            # Location-attention band matrix: built once, outside the scan.
+            loc_band = model.apply(
+                {"params": params}, T, method=model.decoder_loc_band
+            )
+        # ctc_beam + partial scoring: the candidate set is static per
+        # sample (no attention scores to pre-rank by) — the top-N tokens
+        # by best framewise CTC posterior over the valid frames, the
+        # standard pruning for large vocabs.
+        static_cand = None
+        if not use_dec and use_partial:
+            t_ok = (jnp.arange(T)[None, :] < enc_len[:, None])[..., None]
+            post_max = jnp.max(
+                jnp.where(t_ok, ctc_logp, NEG_INF), axis=1
+            )  # [B,V]
+            sbad = jnp.zeros((V,), bool).at[blank_id].set(True)
+            sbad = sbad.at[sos_id].set(True).at[eos_id].set(True)
+            sbad = sbad.at[unk_id].set(True)
+            post_max = jnp.where(sbad[None, :], NEG_INF, post_max)
+            _, sc = jax.lax.top_k(post_max, n_cand)  # [B,N]
+            static_cand = jnp.broadcast_to(sc[:, None, :], (B, K, n_cand))
 
         maxlen = jnp.maximum(
             (dc.maxlen_ratio * enc_len.astype(jnp.float32)).astype(jnp.int32), 1
@@ -285,7 +317,6 @@ def make_beam_decoder(
             ).repeat(B, axis=0).reshape(B, K),
             "r": r0,
             "last_tok": jnp.full((B, K), -1, jnp.int32),
-            "dec_state": dec_state0,
             "fin_tokens": jnp.zeros((B, K, Lmax), jnp.int32),
             "fin_len": jnp.zeros((B, K), jnp.int32),
             "fin_score": jnp.full((B, K), NEG_INF),
@@ -296,6 +327,8 @@ def make_beam_decoder(
             "best_raw": jnp.full((B,), NEG_INF),
             "end_cnt": jnp.zeros((B,), jnp.int32),
         }
+        if use_dec:
+            init["dec_state"] = dec_state0
         if use_lm:
             init["lm_state"] = lm_model.apply(
                 {"params": lm_ps}, B * K, method=lm_model.init_state
@@ -307,18 +340,25 @@ def make_beam_decoder(
             tok_in = jnp.where(
                 carry["last_tok"] < 0, sos_id, carry["last_tok"]
             ).reshape(B * K)
-            dec_state, logits = model.apply(
-                {"params": params},
-                carry["dec_state"],
-                tok_in,
-                enc,
-                enc_proj,
-                enc_mask,
-                K,
-                loc_band,
-                method=model.decoder_step_beam,
-            )
-            att_logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+            if use_dec:
+                dec_state, logits = model.apply(
+                    {"params": params},
+                    carry["dec_state"],
+                    tok_in,
+                    enc,
+                    enc_proj,
+                    enc_mask,
+                    K,
+                    loc_band,
+                    method=model.decoder_step_beam,
+                )
+                att_logp = jax.nn.log_softmax(logits, axis=-1).reshape(
+                    B, K, V)
+            else:
+                # ctc_beam: no decoder. att_logp contributes with weight
+                # (1-w) == 0; zeros keep att_sum a pure liveness tracker
+                # (0 for alive slots, NEG_INF for dead ones).
+                att_logp = jnp.zeros((B, K, V))
 
             # ---- external LM step (shallow fusion) ----
             # The LM consumes the SAME token stream as the attention
@@ -341,11 +381,13 @@ def make_beam_decoder(
 
             # ---- CTC prefix extension scores ----
             cand = None
-            if use_partial:
+            if use_partial and use_dec:
                 # Pre-select the n_cand best continuation tokens per beam
                 # by attention score; only those are CTC-scored.
                 pre = jnp.where(bad[None, None, :], NEG_INF, att_logp)
                 _, cand = jax.lax.top_k(pre, n_cand)  # [B,K,N]
+            elif use_partial:
+                cand = static_cand  # [B,K,N] CTC-posterior top-N
             if w > 0.0:
                 psi, r_new, full_prob = _ctc_extension_scores(
                     ctc_logp, enc_len, carry["r"], carry["last_tok"],
@@ -482,14 +524,15 @@ def make_beam_decoder(
             flat_parent = (
                 parent + jnp.arange(B)[:, None] * K
             ).reshape(B * K)
-            new_dec_state = {
-                "h": dec_state["h"][:, flat_parent],
-                "c": dec_state["c"][:, flat_parent],
-                "att_w": jnp.take_along_axis(
-                    dec_state["att_w"], parent[..., None], axis=1
-                ),
-                "context": dec_state["context"][flat_parent],
-            }
+            if use_dec:
+                new_dec_state = {
+                    "h": dec_state["h"][:, flat_parent],
+                    "c": dec_state["c"][:, flat_parent],
+                    "att_w": jnp.take_along_axis(
+                        dec_state["att_w"], parent[..., None], axis=1
+                    ),
+                    "context": dec_state["context"][flat_parent],
+                }
 
             new_carry = {
                 "tokens": tokens,
@@ -497,13 +540,14 @@ def make_beam_decoder(
                 "att_sum": att_sum,
                 "r": r,
                 "last_tok": token,
-                "dec_state": new_dec_state,
                 "fin_tokens": fin_tokens,
                 "fin_len": fin_len,
                 "fin_score": top_fin,
                 "best_raw": best_raw,
                 "end_cnt": end_cnt,
             }
+            if use_dec:
+                new_carry["dec_state"] = new_dec_state
             if use_lm:
                 new_carry["lm_sum"] = jnp.take_along_axis(
                     lm_cont.reshape(B, K * n_ext), top_idx, axis=1

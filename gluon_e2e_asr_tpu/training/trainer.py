@@ -188,7 +188,7 @@ class Trainer:
                 s.batch_size % eval_mesh.devices.size
                 for s in self.dev_sampler.specs):
             eval_mesh = None
-        if config.decode.method == "beam":
+        if config.decode.method in ("beam", "ctc_beam"):
             from gluon_e2e_asr_tpu.decoding.beam import make_beam_decoder
 
             self._beam = make_beam_decoder(
