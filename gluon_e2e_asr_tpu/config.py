@@ -164,6 +164,11 @@ class TrainConfig:
     # checkpoints only land on accumulation boundaries so mid-epoch
     # resume stays bitwise-exact. 1 = off.
     accum_grad_steps: int = 1
+    # Early stopping (the reference family's `patience` knob): stop
+    # training after this many consecutive epochs without a new best
+    # dev WER. 0 = off (run all num_epochs). The best checkpoint is
+    # tracked either way (best.msgpack symlink).
+    early_stop_patience: int = 0
     # Data parallelism over ICI [BASELINE.json:L5,L10].
     dp: bool = False
     # DP mechanism: "shard_map" (explicit per-shard program + psum(grads);

@@ -336,6 +336,11 @@ bilstm_pallas.defvjp(_bilstm_vjp_fwd, _bilstm_vjp_bwd)
 # streams out in natural layout (half the bytes of d(projections)).
 
 _V2_VMEM_LIMIT = 128 * 1024 * 1024
+# Sequential-loop unroll factor for the v2 kernels (experiment hook: the
+# per-step recurrence is latency-bound, and unrolling lets Mosaic
+# software-pipeline the two directions' independent matmul/VPU work
+# across iterations). Numerics are unchanged (pure unrolling).
+_LOOP_UNROLL = max(1, int(os.environ.get("GLUON_LSTM_UNROLL", "1")))
 
 
 def _perm_ifog(a, H):
@@ -436,7 +441,7 @@ def _v2_fwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref, wx_ref, bx_ref,
         csb_ref[:, pl.ds(i, 1), :] = c_new.astype(csb_ref.dtype)[:, None, :]
         return 0
 
-    jax.lax.fori_loop(0, tc, body, 0)
+    jax.lax.fori_loop(0, tc, body, 0, unroll=_LOOP_UNROLL)
 
     # Chunk-wide masking of the streamed outputs (invalid steps -> 0).
     mask_out = lambda ref, v: (  # noqa: E731
@@ -575,7 +580,7 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
                  whb_ref, dhb_scr, dcb_scr, dgb_scr, thb_scr)
         return 0
 
-    jax.lax.fori_loop(0, tc, body, 0)
+    jax.lax.fori_loop(0, tc, body, 0, unroll=_LOOP_UNROLL)
 
     # Chunk-merged weight-gradient matmuls (full MXU width).
     rows = B * tc

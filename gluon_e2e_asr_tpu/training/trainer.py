@@ -204,6 +204,10 @@ class Trainer:
         self.epoch0 = 0
         self.skip_batches = 0  # mid-epoch resume position
         self.best_wer = float("inf")
+        # Early-stop staleness counter (epochs since the last best dev
+        # WER). Not checkpointed: a resumed run restarts its patience
+        # window, which only ever errs toward training longer.
+        self._stale_epochs = 0
         if config.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
@@ -397,9 +401,21 @@ class Trainer:
             is_best = dev["dev_wer"] < self.best_wer
             if is_best:
                 self.best_wer = dev["dev_wer"]
+                self._stale_epochs = 0
+            else:
+                self._stale_epochs += 1
             self._checkpoint(epoch, is_best)
             final = rec
             if 0 < tc.max_steps <= step:
+                break
+            if (tc.early_stop_patience > 0
+                    and self._stale_epochs >= tc.early_stop_patience):
+                self.logger.log({
+                    "event": "early_stop",
+                    "epoch": epoch,
+                    "best_wer": self.best_wer,
+                    "patience": tc.early_stop_patience,
+                })
                 break
         return final
 

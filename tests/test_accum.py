@@ -129,6 +129,35 @@ def test_accum_trainer_counts_optimizer_steps(tmp_path):
     assert tr._micro == 0 and tr._acc is None  # no group left open
 
 
+def test_early_stop_patience(tmp_path, monkeypatch):
+    """train.early_stop_patience halts after N stale epochs; the best
+    checkpoint tracking is unaffected (scripted dev WERs)."""
+    from gluon_e2e_asr_tpu.training.trainer import Trainer
+
+    cfg = Config(
+        data=DataConfig(dataset="synthetic", synth_num_train=4,
+                        synth_max_tokens=5, batch_size=4,
+                        bucket_bounds_sec=(1.5,), prefetch_depth=0),
+        frontend=FrontendConfig(specaug_freq_masks=0, specaug_time_masks=0),
+        model=ModelConfig(enc_hidden=16, enc_layers=1, enc_subsample=(2,),
+                          dec_hidden=16, dec_embed=8, att_dim=8,
+                          att_type="add"),
+        loss=LossConfig(mtl_alpha=0.3),
+        train=TrainConfig(seed=0, num_epochs=10, warmup_steps=2,
+                          early_stop_patience=2, ckpt_dir="ck"),
+    )
+    tr = Trainer(cfg, workdir=str(tmp_path))
+    # improves at epochs 0 and 1, stale from epoch 2 on -> stop after
+    # epoch 3 (two stale epochs: 2 and 3).
+    script = iter([0.9, 0.5, 0.5, 0.6, 0.4, 0.4, 0.4, 0.4, 0.4, 0.4])
+    monkeypatch.setattr(
+        tr, "evaluate",
+        lambda: {"dev_wer": next(script), "dev_cer": 0.0})
+    final = tr.train()
+    assert final["epoch"] == 3
+    assert tr.best_wer == 0.5
+
+
 @pytest.mark.slow
 def test_accum_grad_step_dp_matches_single_device():
     from gluon_e2e_asr_tpu.parallel.mesh import make_mesh, shard_batch_arrays
