@@ -105,6 +105,7 @@ def test_accum_two_micro_batches_match_one_big_batch():
     assert int(s_acc.step) == int(s_big.step) == 1
 
 
+@pytest.mark.slow
 def test_accum_trainer_counts_optimizer_steps(tmp_path):
     """5 batches/epoch at accum=2 -> 3 optimizer steps (2 full groups +
     the remainder flush); resume bookkeeping counts optimizer steps."""
@@ -129,6 +130,7 @@ def test_accum_trainer_counts_optimizer_steps(tmp_path):
     assert tr._micro == 0 and tr._acc is None  # no group left open
 
 
+@pytest.mark.slow
 def test_early_stop_patience(tmp_path, monkeypatch):
     """train.early_stop_patience halts after N stale epochs; the best
     checkpoint tracking is unaffected (scripted dev WERs)."""

@@ -24,7 +24,10 @@ from gluon_e2e_asr_tpu.training.train_step import (
 )
 
 
-@pytest.mark.parametrize("att_type", ["dot", "loc"])
+@pytest.mark.parametrize(
+    "att_type",
+    ["dot", pytest.param("loc", marks=pytest.mark.slow)],
+)
 def test_attention_maps_shapes_and_normalization(att_type):
     import sys
 
