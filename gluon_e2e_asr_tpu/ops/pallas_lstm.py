@@ -336,11 +336,18 @@ bilstm_pallas.defvjp(_bilstm_vjp_fwd, _bilstm_vjp_bwd)
 # streams out in natural layout (half the bytes of d(projections)).
 
 _V2_VMEM_LIMIT = 128 * 1024 * 1024
-# Sequential-loop unroll factor for the v2 kernels (experiment hook: the
-# per-step recurrence is latency-bound, and unrolling lets Mosaic
-# software-pipeline the two directions' independent matmul/VPU work
-# across iterations). Numerics are unchanged (pure unrolling).
-_LOOP_UNROLL = max(1, int(os.environ.get("GLUON_LSTM_UNROLL", "1")))
+# Sequential-loop unroll hook for the v2 kernels (the per-step recurrence
+# is latency-bound, and unrolling lets Mosaic software-pipeline the two
+# directions' independent matmul/VPU work across iterations). Mosaic's
+# fori_loop lowering only supports unroll=1 or a FULL unroll
+# (unroll == num_steps), so the hook is boolean: GLUON_LSTM_UNROLL=full
+# fully unrolls the tc-step chunk loop. Numerics are unchanged.
+_LOOP_UNROLL_FULL = os.environ.get("GLUON_LSTM_UNROLL", "1") in (
+    "full", "tc")
+
+
+def _unroll(tc: int) -> int:
+    return tc if _LOOP_UNROLL_FULL else 1
 
 
 def _perm_ifog(a, H):
@@ -441,7 +448,7 @@ def _v2_fwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref, wx_ref, bx_ref,
         csb_ref[:, pl.ds(i, 1), :] = c_new.astype(csb_ref.dtype)[:, None, :]
         return 0
 
-    jax.lax.fori_loop(0, tc, body, 0, unroll=_LOOP_UNROLL)
+    jax.lax.fori_loop(0, tc, body, 0, unroll=_unroll(tc))
 
     # Chunk-wide masking of the streamed outputs (invalid steps -> 0).
     mask_out = lambda ref, v: (  # noqa: E731
@@ -580,7 +587,7 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
                  whb_ref, dhb_scr, dcb_scr, dgb_scr, thb_scr)
         return 0
 
-    jax.lax.fori_loop(0, tc, body, 0, unroll=_LOOP_UNROLL)
+    jax.lax.fori_loop(0, tc, body, 0, unroll=_unroll(tc))
 
     # Chunk-merged weight-gradient matmuls (full MXU width).
     rows = B * tc
