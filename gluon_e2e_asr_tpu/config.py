@@ -46,6 +46,15 @@ class DataConfig:
     max_label_len: int = 320
     shuffle: bool = True
     drop_last: bool = False
+    # Speed perturbation (the reference family's standard LibriSpeech
+    # augmentation, classically offline 0.9/1.0/1.1 copies): per utterance
+    # and per epoch, one factor is drawn and the waveform is resampled by
+    # it ON THE FLY on the host (train split only; linear interpolation,
+    # factor f scales pitch/tempo by f and duration by 1/f). Deterministic
+    # in (train.seed, epoch, utterance) so mid-epoch resume replays the
+    # same draws. Bucket placement reserves room for the slowest factor,
+    # keeping bucket shapes static. Empty tuple = off.
+    speed_perturb: Tuple[float, ...] = ()
     # SortaGrad (the reference family's curriculum knob): run the first N
     # epochs shortest-utterance-first with no shuffle, then switch to the
     # normal per-epoch shuffle. Stabilizes early CTC training on real

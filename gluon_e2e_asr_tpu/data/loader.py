@@ -93,11 +93,23 @@ class DataLoader:
         tokenizer: CharTokenizer,
         sample_rate: int = 16000,
         use_native: bool = True,
+        speed_perturb: Sequence[float] = (),
+        perturb_seed: int = 0,
     ):
         self.utts = list(utts)
         self.sampler = sampler
         self.tokenizer = tokenizer
         self.sample_rate = sample_rate
+        # On-the-fly speed perturbation (train loaders only; the factor
+        # draw is deterministic in (perturb_seed, epoch, utterance) so
+        # mid-epoch resume replays identical batches). The paired sampler
+        # must be built with duration_scale = 1/min(factors) so stretched
+        # audio still fits its bucket (sampler.py).
+        self.speed_perturb = tuple(float(f) for f in speed_perturb)
+        if any(f <= 0 for f in self.speed_perturb):
+            raise ValueError(
+                f"speed_perturb factors must be > 0: {self.speed_perturb}")
+        self.perturb_seed = perturb_seed
         self._native = _get_native_packer() if use_native else None
         self._native_wav = _get_native_wav_loader() if use_native else None
         self._native_wav_failures = 0
@@ -118,7 +130,7 @@ class DataLoader:
 
     def epoch(self, epoch: int) -> Iterator[Batch]:
         for bucket, idxs in self.sampler.epoch_batches(epoch):
-            yield self.make_batch(bucket, idxs)
+            yield self.make_batch(bucket, idxs, epoch=epoch)
 
     def prefetch_epoch(self, epoch: int, skip: int = 0,
                        depth: int = 2) -> "EpochPrefetcher":
@@ -134,10 +146,43 @@ class DataLoader:
             for i, (bucket, idxs) in enumerate(self.sampler.epoch_batches(epoch))
             if i >= skip
         ]
-        return EpochPrefetcher(self, jobs, depth)
+        return EpochPrefetcher(self, jobs, depth, epoch=epoch)
 
 
-    def make_batch(self, bucket: int, idxs: Sequence[int]) -> Batch:
+    def _perturb_factor(self, epoch: int, utt_idx: int) -> float:
+        """Deterministic per-(epoch, utterance) speed factor draw."""
+        key = ((self.perturb_seed * 1000003 + epoch) * 1000003
+               + utt_idx) & 0x7FFFFFFF
+        r = np.random.RandomState(key)
+        return self.speed_perturb[r.randint(len(self.speed_perturb))]
+
+    def _apply_speed_perturb(self, audio: np.ndarray, audio_len: np.ndarray,
+                             idxs: Sequence[int], epoch: int,
+                             max_samples: int) -> None:
+        """Resample each packed row in place by its drawn factor.
+
+        Factor f plays the utterance f× faster: output sample t takes the
+        input's value at position t*f (linear interpolation), so duration
+        scales by 1/f and pitch/tempo by f — the same transform as the
+        classic offline sox-speed 0.9/1.0/1.1 corpus tripling, drawn
+        fresh per epoch instead of fixed per copy.
+        """
+        for row, i in enumerate(idxs):
+            f = self._perturb_factor(epoch, i)
+            n = int(audio_len[row])
+            if f == 1.0 or n <= 1:
+                continue
+            new_n = min(int(round(n / f)), max_samples)
+            pos = np.arange(new_n, dtype=np.float64) * f
+            w = np.interp(pos, np.arange(n, dtype=np.float64),
+                          audio[row, :n]).astype(np.float32)
+            audio[row, :new_n] = w
+            if new_n < n:
+                audio[row, new_n:n] = 0.0
+            audio_len[row] = new_n
+
+    def make_batch(self, bucket: int, idxs: Sequence[int],
+                   epoch: Optional[int] = None) -> Batch:
         spec: BucketSpec = self.sampler.specs[bucket]
         audio = audio_len = None
         # Real-corpus hot path: every utterance is an on-disk wav/flac ->
@@ -177,6 +222,9 @@ class DataLoader:
             else:
                 audio, audio_len = _pack_python(
                     waves, spec.max_samples, spec.batch_size)
+        if self.speed_perturb and epoch is not None:
+            self._apply_speed_perturb(
+                audio, audio_len, idxs, epoch, spec.max_samples)
         labels = np.zeros((spec.batch_size, spec.max_labels), np.int32)
         label_len = np.zeros((spec.batch_size,), np.int32)
         utt_ids = []
@@ -208,9 +256,10 @@ class EpochPrefetcher:
 
     def __init__(self, loader: "DataLoader",
                  jobs: Sequence[Tuple[int, int, Sequence[int]]],
-                 depth: int = 2):
+                 depth: int = 2, epoch: Optional[int] = None):
         self._loader = loader
         self._jobs = list(jobs)
+        self._epoch = epoch
         self._depth = depth
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -234,7 +283,7 @@ class EpochPrefetcher:
             for idx, bucket, idxs in self._jobs:
                 if self._stop.is_set():
                     return
-                b = self._loader.make_batch(bucket, idxs)
+                b = self._loader.make_batch(bucket, idxs, epoch=self._epoch)
                 if not self._put((idx, b)):
                     return
             self._put(self._DONE)
@@ -244,7 +293,8 @@ class EpochPrefetcher:
     def __iter__(self) -> Iterator[Tuple[int, Batch]]:
         if self._thread is None:  # synchronous fallback
             for idx, bucket, idxs in self._jobs:
-                yield idx, self._loader.make_batch(bucket, idxs)
+                yield idx, self._loader.make_batch(
+                    bucket, idxs, epoch=self._epoch)
             return
         while True:
             item = self._q.get()

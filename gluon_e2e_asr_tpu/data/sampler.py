@@ -76,6 +76,7 @@ class BucketSampler:
         shuffle: bool = True,
         drop_last: bool = False,
         sortagrad_epochs: int = 0,
+        duration_scale: float = 1.0,
     ):
         self.specs = list(specs)
         self.seed = seed
@@ -90,8 +91,12 @@ class BucketSampler:
         self._durations = [float(u.duration) for u in utts]
         self.assignments: List[List[int]] = [[] for _ in self.specs]
         self.skipped: List[int] = []
+        # duration_scale > 1 reserves bucket room for on-the-fly speed
+        # perturbation (data.speed_perturb): the slowest factor f < 1
+        # stretches audio by 1/f, and placement must guarantee the
+        # stretched waveform still fits its bucket's static shape.
         for i, u in enumerate(utts):
-            n_samples = int(round(u.duration * sample_rate))
+            n_samples = int(round(u.duration * duration_scale * sample_rate))
             placed = False
             for b, spec in enumerate(self.specs):
                 if n_samples <= spec.max_samples and len(u.text) <= spec.max_labels:

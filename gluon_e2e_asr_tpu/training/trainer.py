@@ -87,15 +87,21 @@ class Trainer:
             config.frontend.hop_length,
             config.data.dynamic_batch,
         )
+        # Speed perturbation (train split only): bucket placement must
+        # reserve room for the slowest factor's 1/f stretch.
+        sp = tuple(config.data.speed_perturb or ())
+        dur_scale = 1.0 / min(sp) if sp and min(sp) < 1.0 else 1.0
         self.sampler = BucketSampler(
             self.train_utts, specs, config.data.sample_rate,
             seed=config.train.seed, shuffle=config.data.shuffle,
             drop_last=config.data.drop_last,
             sortagrad_epochs=config.data.sortagrad_epochs,
+            duration_scale=dur_scale,
         )
         self.loader = DataLoader(
             self.train_utts, self.sampler, self.tokenizer,
             config.data.sample_rate,
+            speed_perturb=sp, perturb_seed=config.train.seed,
         )
         self.dev_sampler = BucketSampler(
             self.dev_utts, specs, config.data.sample_rate,
