@@ -159,11 +159,28 @@ class TrainConfig:
     seed: int = 0
     num_epochs: int = 10
     max_steps: int = -1  # if >0, stop after this many optimizer steps
+    # "adam" (adamw + warmup->inv-sqrt LR), "sgd" (momentum 0.9), or
+    # "adadelta" — the reference family's classic RNN-ASR optimizer
+    # (run it ESPnet-style: learning_rate 1.0, warmup_steps 0, with the
+    # plateau eps decay below).
     optimizer: str = "adam"
     learning_rate: float = 1e-3
     warmup_steps: int = 100
     weight_decay: float = 0.0
     grad_clip_norm: float = 5.0
+    # Adadelta hyperparameters (optimizer == "adadelta" only).
+    adadelta_rho: float = 0.95
+    adadelta_eps: float = 1e-8
+    # Plateau eps decay (the family's criterion-based annealing): after
+    # an epoch with NO new best dev WER, multiply adadelta's eps by this
+    # factor (classically 0.01 — smaller eps = smaller steps). The
+    # decayed value lives in the optimizer state, so checkpoints carry
+    # it and resume continues at the annealed setting. 0 = off.
+    eps_decay: float = 0.0
+    # On those same plateau epochs, additionally reload model params
+    # from the best checkpoint before continuing (the family's
+    # restore-then-anneal recipe); optimizer accumulators are kept.
+    plateau_restore_best: bool = False
     # Gradient accumulation (the reference family's accum_grad knob):
     # sum num_real-weighted gradients over this many consecutive batches
     # and apply ONE optimizer update with their global mean — numerically

@@ -55,6 +55,14 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
         opt = optax.adamw(sched, weight_decay=tc.weight_decay)
     elif tc.optimizer == "sgd":
         opt = optax.sgd(sched, momentum=0.9)
+    elif tc.optimizer == "adadelta":
+        # The reference family's classic RNN-ASR optimizer. Wrapped in
+        # inject_hyperparams so eps lives in the optimizer STATE: the
+        # trainer's plateau annealing (train.eps_decay) mutates it
+        # between epochs, and checkpoints carry the annealed value
+        # through resume (see decay_opt_eps).
+        opt = optax.inject_hyperparams(optax.adadelta)(
+            learning_rate=sched, rho=tc.adadelta_rho, eps=tc.adadelta_eps)
     else:
         raise ValueError(f"unknown optimizer {tc.optimizer}")
     parts = []
@@ -440,6 +448,37 @@ def make_apply_step(tx: optax.GradientTransformation):
 # accumulator: no HBM growth across micro-batches).
 accumulate_grads = jax.jit(
     lambda acc, g: jax.tree.map(jnp.add, acc, g), donate_argnums=(0,))
+
+
+def decay_opt_eps(opt_state, factor: float):
+    """Multiply every injected ``eps`` hyperparameter in ``opt_state`` by
+    ``factor`` (the reference family's criterion-based adadelta
+    annealing, train.eps_decay). Returns ``(new_opt_state, old_eps,
+    new_eps)`` — the eps values are host floats for logging — or
+    ``(opt_state, None, None)`` when no injected eps exists (e.g. the
+    optimizer is adam/sgd, which are not inject-wrapped)."""
+    seen = []
+
+    def walk(s):
+        if isinstance(s, optax.InjectStatefulHyperparamsState) or (
+                hasattr(s, "hyperparams") and hasattr(s, "_replace")):
+            hp = dict(s.hyperparams)
+            if "eps" in hp:
+                old = jnp.asarray(hp["eps"])
+                new = (old.astype(jnp.float32) * factor).astype(old.dtype)
+                hp["eps"] = new
+                seen.append((float(old), float(new)))
+                return s._replace(hyperparams=hp)
+            return s
+        if isinstance(s, tuple):
+            items = [walk(x) for x in s]
+            return type(s)(*items) if hasattr(s, "_fields") else tuple(items)
+        return s
+
+    new_state = walk(opt_state)
+    if not seen:
+        return opt_state, None, None
+    return new_state, seen[0][0], seen[0][1]
 
 
 def make_eval_loss_step(model: ASRModel, config: Config, cmvn_stats=None):

@@ -410,6 +410,7 @@ class Trainer:
                 self._stale_epochs = 0
             else:
                 self._stale_epochs += 1
+                self._plateau_anneal(epoch)
             self._checkpoint(epoch, is_best)
             final = rec
             if 0 < tc.max_steps <= step:
@@ -424,6 +425,44 @@ class Trainer:
                 })
                 break
         return final
+
+    def _plateau_anneal(self, epoch: int) -> None:
+        """Criterion-based annealing on a no-new-best epoch (the reference
+        family's adadelta recipe): multiply the optimizer's injected eps
+        by train.eps_decay, optionally reloading model params from the
+        best checkpoint first (train.plateau_restore_best). No-op unless
+        train.eps_decay > 0. The decayed eps lives in opt_state, so the
+        epoch's checkpoint (written right after) carries it into resume."""
+        tc = self.config.train
+        if tc.eps_decay <= 0:
+            return
+        from gluon_e2e_asr_tpu.training.train_step import decay_opt_eps
+
+        new_opt, old_eps, new_eps = decay_opt_eps(
+            self.state.opt_state, tc.eps_decay)
+        if old_eps is None:
+            self.logger.log({
+                "event": "eps_decay_skipped",
+                "epoch": epoch,
+                "hint": "train.eps_decay set but the optimizer has no "
+                        "injected eps (use train.optimizer: adadelta)",
+            })
+            return
+        restored = False
+        if tc.plateau_restore_best:
+            best = os.path.join(self.workdir, tc.ckpt_dir, "best.msgpack")
+            if os.path.exists(best):
+                best_state, _, _ = restore_checkpoint(best, self.state)
+                self.state = self.state.replace(params=best_state.params)
+                restored = True
+        self.state = self.state.replace(opt_state=new_opt)
+        self.logger.log({
+            "event": "eps_decay",
+            "epoch": epoch,
+            "eps_old": old_eps,
+            "eps_new": new_eps,
+            "restored_best": restored,
+        })
 
     def _checkpoint(self, epoch: int, is_best: Optional[bool],
                     batches_done: int = -1) -> None:
