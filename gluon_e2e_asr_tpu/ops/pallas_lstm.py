@@ -342,8 +342,24 @@ _V2_VMEM_LIMIT = 128 * 1024 * 1024
 # fori_loop lowering only supports unroll=1 or a FULL unroll
 # (unroll == num_steps), so the hook is boolean: GLUON_LSTM_UNROLL=full
 # fully unrolls the tc-step chunk loop. Numerics are unchanged.
-_LOOP_UNROLL_FULL = os.environ.get("GLUON_LSTM_UNROLL", "1") in (
-    "full", "tc")
+def _parse_unroll_env() -> bool:
+    v = os.environ.get("GLUON_LSTM_UNROLL", "1").strip()
+    if v in ("full", "tc"):
+        return True
+    if v in ("", "1"):
+        return False
+    # Legacy numeric values (the old int-valued hook): Mosaic supports
+    # only unroll=1 or a full unroll, so map any other request to "full"
+    # loudly rather than silently measuring a different configuration.
+    import warnings
+
+    warnings.warn(
+        f"GLUON_LSTM_UNROLL={v!r}: Mosaic supports only unroll=1 or a "
+        "full chunk unroll; treating as 'full'", stacklevel=2)
+    return True
+
+
+_LOOP_UNROLL_FULL = _parse_unroll_env()
 
 
 def _unroll(tc: int) -> int:

@@ -90,6 +90,9 @@ class Trainer:
         # Speed perturbation (train split only): bucket placement must
         # reserve room for the slowest factor's 1/f stretch.
         sp = tuple(config.data.speed_perturb or ())
+        if sp and min(sp) <= 0:
+            raise ValueError(
+                f"data.speed_perturb factors must be > 0: {sp}")
         dur_scale = 1.0 / min(sp) if sp and min(sp) < 1.0 else 1.0
         self.sampler = BucketSampler(
             self.train_utts, specs, config.data.sample_rate,
@@ -434,7 +437,22 @@ class Trainer:
         train.eps_decay > 0. The decayed eps lives in opt_state, so the
         epoch's checkpoint (written right after) carries it into resume."""
         tc = self.config.train
+        if tc.eps_decay <= 0 and not tc.plateau_restore_best:
+            return
+        # Restore first (independent of the optimizer family), then anneal.
+        restored = False
+        if tc.plateau_restore_best:
+            best = os.path.join(self.workdir, tc.ckpt_dir, "best.msgpack")
+            if os.path.exists(best):
+                best_state, _, _ = restore_checkpoint(best, self.state)
+                self.state = self.state.replace(params=best_state.params)
+                restored = True
         if tc.eps_decay <= 0:
+            if restored:
+                self.logger.log({
+                    "event": "plateau_restore",
+                    "epoch": epoch,
+                })
             return
         from gluon_e2e_asr_tpu.training.train_step import decay_opt_eps
 
@@ -444,17 +462,11 @@ class Trainer:
             self.logger.log({
                 "event": "eps_decay_skipped",
                 "epoch": epoch,
+                "restored_best": restored,
                 "hint": "train.eps_decay set but the optimizer has no "
                         "injected eps (use train.optimizer: adadelta)",
             })
             return
-        restored = False
-        if tc.plateau_restore_best:
-            best = os.path.join(self.workdir, tc.ckpt_dir, "best.msgpack")
-            if os.path.exists(best):
-                best_state, _, _ = restore_checkpoint(best, self.state)
-                self.state = self.state.replace(params=best_state.params)
-                restored = True
         self.state = self.state.replace(opt_state=new_opt)
         self.logger.log({
             "event": "eps_decay",
