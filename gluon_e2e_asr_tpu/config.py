@@ -89,6 +89,14 @@ class FrontendConfig:
     specaug_freq_width: int = 27
     specaug_time_masks: int = 2
     specaug_time_width: int = 40
+    # Delta features (the Kaldi-era add-deltas stage): 0 = static
+    # log-mel only, 1 = +Δ, 2 = +Δ+ΔΔ. Output dim = n_mels*(1+deltas).
+    # Computed on device from the CMVN-normalized statics with the
+    # standard regression formula over ``delta_window`` neighbors,
+    # edge-replicated within each utterance's valid frames (Kaldi
+    # semantics). Shared post-stage of both frontend impls.
+    deltas: int = 0
+    delta_window: int = 2
     # Implementation selector: "jnp" (composed XLA) | "pallas" (fused kernel).
     impl: str = "jnp"
 

@@ -220,6 +220,39 @@ def spec_augment(
     return feats
 
 
+def add_deltas(feats: jnp.ndarray, feat_len: jnp.ndarray, order: int,
+               window: int = 2) -> jnp.ndarray:
+    """Append Kaldi-style regression deltas: [B,F,M] -> [B,F,M*(1+order)].
+
+    d_t = sum_{n=1..N} n * (x_{t+n} - x_{t-n}) / (2 * sum n^2), with
+    indices clamped per utterance to its valid range (edge replication —
+    Kaldi's add-deltas semantics). Frames past ``feat_len`` stay zero.
+    The per-row clamp is a [B,F,1] take_along_axis gather, which XLA
+    lowers to a time-axis gather; deltas are an opt-in stage
+    (frontend.deltas) so the cost is only paid when configured.
+    """
+    if order <= 0:
+        return feats
+    F = feats.shape[1]
+    denom = 2.0 * sum(n * n for n in range(1, window + 1))
+    t = jnp.arange(F)[None, :]  # [1,F]
+    hi = jnp.maximum(feat_len[:, None] - 1, 0)  # [B,1]
+    blocks = [feats]
+    cur = feats
+    for _ in range(order):
+        acc = jnp.zeros_like(cur)
+        for n in range(1, window + 1):
+            ip = jnp.clip(t + n, 0, hi)[..., None]  # [B,F,1]
+            im = jnp.clip(t - n, 0, hi)[..., None]
+            acc = acc + n * (jnp.take_along_axis(cur, ip, axis=1)
+                             - jnp.take_along_axis(cur, im, axis=1))
+        cur = acc / denom
+        blocks.append(cur)
+    out = jnp.concatenate(blocks, axis=-1)
+    valid = (t < feat_len[:, None])[..., None]
+    return jnp.where(valid, out, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Public entry points
 # ---------------------------------------------------------------------------
@@ -267,9 +300,15 @@ def frontend_apply(cfg: FrontendConfig, audio, audio_len, *, train=False, rng=No
     if cfg.impl == "pallas":
         from gluon_e2e_asr_tpu.frontend.pallas_frontend import compute_features_pallas
 
-        return compute_features_pallas(
+        feats, feat_len = compute_features_pallas(
             cfg, audio, audio_len, train=train, rng=rng, cmvn_stats=cmvn_stats
         )
-    return compute_features(
-        cfg, audio, audio_len, train=train, rng=rng, cmvn_stats=cmvn_stats
-    )
+    else:
+        feats, feat_len = compute_features(
+            cfg, audio, audio_len, train=train, rng=rng, cmvn_stats=cmvn_stats
+        )
+    if cfg.deltas > 0:
+        # Shared post-stage (identical for both impls): deltas of the
+        # CMVN-normalized (and, in train mode, SpecAugmented) statics.
+        feats = add_deltas(feats, feat_len, cfg.deltas, cfg.delta_window)
+    return feats, feat_len
