@@ -94,6 +94,51 @@ def test_annealed_eps_survives_serialization():
     assert find_eps(back) == pytest.approx(1e-10)
 
 
+def test_adadelta_dp_shard_map_step_runs():
+    """Injected-hyperparams optimizer state composes with the shard_map
+    DP step (replicated opt state incl. the eps scalar) on the 8-device
+    virtual mesh, and decay_opt_eps keeps the state usable between
+    steps."""
+    from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+    from gluon_e2e_asr_tpu.models.asr import build_model
+    from gluon_e2e_asr_tpu.parallel.mesh import (
+        make_mesh, shard_batch_arrays,
+    )
+    from gluon_e2e_asr_tpu.training.train_step import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    cfg = Config(
+        model=ModelConfig(enc_hidden=16, enc_layers=1, enc_subsample=(2,),
+                          dec_hidden=16, dec_embed=8, att_dim=8,
+                          att_type="add"),
+        loss=LossConfig(mtl_alpha=0.5),
+        train=TrainConfig(seed=0, dp=True, optimizer="adadelta",
+                          learning_rate=1.0, warmup_steps=0),
+    )
+    rng = np.random.RandomState(3)
+    B = 8
+    batch = {
+        "audio": rng.randn(B, 8000).astype(np.float32) * 0.1,
+        "audio_len": np.full((B,), 8000, np.int32),
+        "labels": rng.randint(4, 10, (B, 5)).astype(np.int32),
+        "label_len": np.full((B,), 5, np.int32),
+    }
+    tok = CharTokenizer()
+    model = build_model(cfg, tok.vocab_size, tok.sos_id, tok.eos_id)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, model, tx, batch)
+    mesh = make_mesh()
+    step = make_train_step(model, cfg, tx, mesh=mesh)
+    state, metrics = step(state, shard_batch_arrays(mesh, batch))
+    assert np.isfinite(float(metrics["loss"]))
+    new_opt, old, new = decay_opt_eps(state.opt_state, 0.01)
+    assert old is not None and new == pytest.approx(old * 0.01)
+    state = state.replace(opt_state=new_opt)
+    state, metrics = step(state, shard_batch_arrays(mesh, batch))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 @pytest.mark.slow
 def test_trainer_plateau_anneal_and_restore(tmp_path):
     """A run whose dev WER plateaus emits eps_decay events, restores the
