@@ -185,8 +185,15 @@ class TrainConfig:
     # decayed value lives in the optimizer state, so checkpoints carry
     # it and resume continues at the annealed setting. 0 = off.
     eps_decay: float = 0.0
-    # On those same plateau epochs, additionally reload model params
-    # from the best checkpoint before continuing (the family's
+    # Anneal only after this many CONSECUTIVE no-best epochs (and again
+    # after each further full window). 1 = every plateau epoch — the
+    # classic behavior, appropriate when an epoch is many thousands of
+    # steps; on small corpora/epochs use a larger patience so one noisy
+    # eval can't cascade the 100x decays (a measured every-epoch cascade
+    # froze then NaN'd a 32-step-epoch run; see BASELINE.md).
+    eps_decay_patience: int = 1
+    # On annealing epochs, additionally reload model params from the
+    # best checkpoint before continuing (the family's
     # restore-then-anneal recipe); optimizer accumulators are kept.
     plateau_restore_best: bool = False
     # Gradient accumulation (the reference family's accum_grad knob):

@@ -14,6 +14,7 @@ from typing import Any, Dict, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from gluon_e2e_asr_tpu.config import Config
@@ -456,8 +457,15 @@ def decay_opt_eps(opt_state, factor: float):
     annealing, train.eps_decay). Returns ``(new_opt_state, old_eps,
     new_eps)`` — the eps values are host floats for logging — or
     ``(opt_state, None, None)`` when no injected eps exists (e.g. the
-    optimizer is adam/sgd, which are not inject-wrapped)."""
+    optimizer is adam/sgd, which are not inject-wrapped).
+
+    The decayed value is floored at float32 tiny: repeated annealing
+    would otherwise underflow eps to exactly 0, after which adadelta's
+    ``sqrt(acc + eps)`` turns 0/0 on any zero-accumulator coordinate —
+    measured as a mid-training NaN on a pathological every-epoch-decay
+    run (BASELINE.md round-2 recipe-knob soaks)."""
     seen = []
+    floor = float(np.finfo(np.float32).tiny)
 
     def walk(s):
         if isinstance(s, optax.InjectStatefulHyperparamsState) or (
@@ -465,7 +473,9 @@ def decay_opt_eps(opt_state, factor: float):
             hp = dict(s.hyperparams)
             if "eps" in hp:
                 old = jnp.asarray(hp["eps"])
-                new = (old.astype(jnp.float32) * factor).astype(old.dtype)
+                new = jnp.maximum(
+                    old.astype(jnp.float32) * factor, floor
+                ).astype(old.dtype)
                 hp["eps"] = new
                 seen.append((float(old), float(new)))
                 return s._replace(hyperparams=hp)

@@ -439,6 +439,11 @@ class Trainer:
         tc = self.config.train
         if tc.eps_decay <= 0 and not tc.plateau_restore_best:
             return
+        # Patience gating: act only at the end of each full window of
+        # consecutive no-best epochs (window length eps_decay_patience).
+        patience = max(1, int(tc.eps_decay_patience))
+        if self._stale_epochs % patience != 0:
+            return
         # Restore first (independent of the optimizer family), then anneal.
         restored = False
         if tc.plateau_restore_best:

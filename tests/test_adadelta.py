@@ -60,6 +60,47 @@ def test_decay_opt_eps_scales_injected_eps():
     assert float(jnp.abs(u1["w"]).max()) < float(jnp.abs(u0["w"]).max())
 
 
+def test_decay_opt_eps_floors_at_f32_tiny():
+    """Repeated annealing must never underflow eps to exactly 0 (a
+    measured mid-training NaN source — BASELINE.md round-2 soaks)."""
+    from gluon_e2e_asr_tpu.training.train_step import make_optimizer
+
+    tx = make_optimizer(_adadelta_cfg())
+    state = tx.init({"w": jnp.ones((2,))})
+    last = None
+    for _ in range(30):  # 1e-8 * 0.01^30 would underflow f32 by far
+        state, _, last = decay_opt_eps(state, 0.01)
+    assert last == pytest.approx(float(np.finfo(np.float32).tiny))
+    assert last > 0.0
+
+
+def test_plateau_anneal_patience_gating():
+    """eps_decay_patience=N anneals only at the end of each full window
+    of consecutive no-best epochs."""
+    from types import SimpleNamespace
+
+    from gluon_e2e_asr_tpu.training.trainer import Trainer
+    from gluon_e2e_asr_tpu.training.train_step import make_optimizer
+
+    cfg = _adadelta_cfg(eps_decay=0.01, eps_decay_patience=3)
+    tx = make_optimizer(cfg)
+    events = []
+    fake = SimpleNamespace(
+        config=cfg,
+        workdir="/nonexistent",
+        state=SimpleNamespace(opt_state=tx.init({"w": jnp.ones((2,))})),
+        logger=SimpleNamespace(log=events.append),
+    )
+    fake.state.replace = lambda **kw: SimpleNamespace(
+        opt_state=kw.get("opt_state", fake.state.opt_state),
+        replace=fake.state.replace)
+    for stale in (1, 2, 3, 4, 5, 6):
+        fake._stale_epochs = stale
+        Trainer._plateau_anneal(fake, epoch=stale)
+    decays = [e for e in events if e.get("event") == "eps_decay"]
+    assert [e["epoch"] for e in decays] == [3, 6]
+
+
 def test_decay_opt_eps_noop_for_adam():
     from gluon_e2e_asr_tpu.training.train_step import make_optimizer
 
