@@ -105,7 +105,7 @@ def main(argv=None):
         {"audio": first.audio, "audio_len": first.audio_len,
          "labels": first.labels, "label_len": first.label_len},
     )
-    state, cmvn_stats, meta = restore_checkpoint(args.ckpt, template)
+    state, cmvn_stats, meta = restore_checkpoint(args.ckpt, template, params_only=True)
 
     mesh = None
     if config.decode.dp:

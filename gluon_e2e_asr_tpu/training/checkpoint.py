@@ -99,13 +99,31 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 
 def restore_checkpoint(
-    path: str, template: TrainState
+    path: str, template: TrainState, params_only: bool = False
 ) -> Tuple[TrainState, Optional[tuple], Dict[str, Any]]:
     """Restore (state, cmvn_stats, meta) from ``path`` using ``template``
-    for pytree structure."""
+    for pytree structure.
+
+    ``params_only=True`` restores just the model parameters (+ step) and
+    keeps the template's optimizer/PRNG state — the inference-side mode:
+    decode/transcribe must load checkpoints regardless of which
+    optimizer (adam's 3-element vs adadelta's inject-wrapped 4-element
+    opt_state) or accumulation recipe trained them, so they must not
+    depend on reconstructing the training-time opt_state structure.
+    """
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
-    state = flax.serialization.from_state_dict(template, payload["state"])
+    if params_only:
+        sd = payload["state"]
+        state = template.replace(
+            params=flax.serialization.from_state_dict(
+                template.params, sd["params"]),
+            step=flax.serialization.from_state_dict(
+                template.step, sd["step"]),
+        )
+    else:
+        state = flax.serialization.from_state_dict(
+            template, payload["state"])
     cmvn = payload.get("cmvn")
     if cmvn is not None:
         cmvn = tuple(np.asarray(x) for x in cmvn)

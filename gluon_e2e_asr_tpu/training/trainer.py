@@ -449,7 +449,7 @@ class Trainer:
         if tc.plateau_restore_best:
             best = os.path.join(self.workdir, tc.ckpt_dir, "best.msgpack")
             if os.path.exists(best):
-                best_state, _, _ = restore_checkpoint(best, self.state)
+                best_state, _, _ = restore_checkpoint(best, self.state, params_only=True)
                 self.state = self.state.replace(params=best_state.params)
                 restored = True
         if tc.eps_decay <= 0:

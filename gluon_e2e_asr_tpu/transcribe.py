@@ -125,7 +125,7 @@ def main(argv=None):
         {"audio": first.audio, "audio_len": first.audio_len,
          "labels": first.labels, "label_len": first.label_len},
     )
-    state, cmvn_stats, _ = restore_checkpoint(args.ckpt, template)
+    state, cmvn_stats, _ = restore_checkpoint(args.ckpt, template, params_only=True)
 
     is_beam = config.decode.method in ("beam", "ctc_beam")
     if is_beam:

@@ -180,6 +180,40 @@ def test_adadelta_dp_shard_map_step_runs():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_params_only_restore_across_optimizers(tmp_path):
+    """Inference-side restore must not depend on the training-time
+    optimizer: a checkpoint saved from an adadelta run (4-element
+    inject-wrapped opt_state) restores into an adam template with
+    params_only=True (the decode/transcribe mode). Regression for the
+    measured decode failure: 'size of the list and the state dict do
+    not match, got 3 and 4 at path ./opt_state/1'."""
+    from gluon_e2e_asr_tpu.training.checkpoint import (
+        restore_checkpoint, save_checkpoint,
+    )
+    from gluon_e2e_asr_tpu.training.train_step import (
+        TrainState, make_optimizer,
+    )
+
+    params = {"w": jnp.arange(4.0)}
+    tx_ad = make_optimizer(_adadelta_cfg())
+    state = TrainState(step=jnp.asarray(7, jnp.int32), params=params,
+                       opt_state=tx_ad.init(params),
+                       rng=jax.random.PRNGKey(0))
+    path = save_checkpoint(str(tmp_path), state, {})
+    tx_adam = make_optimizer(Config(train=TrainConfig(optimizer="adam")))
+    template = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=tx_adam.init(params),
+                          rng=jax.random.PRNGKey(1))
+    # full restore fails across optimizer families...
+    with pytest.raises(Exception):
+        restore_checkpoint(path, template)
+    # ...params_only succeeds and carries params + step
+    got, _, _ = restore_checkpoint(path, template, params_only=True)
+    np.testing.assert_array_equal(np.asarray(got.params["w"]),
+                                  np.arange(4.0))
+    assert int(got.step) == 7
+
+
 @pytest.mark.slow
 def test_trainer_plateau_anneal_and_restore(tmp_path):
     """A run whose dev WER plateaus emits eps_decay events, restores the

@@ -146,7 +146,7 @@ def main(argv=None):
         {"audio": first.audio, "audio_len": first.audio_len,
          "labels": first.labels, "label_len": first.label_len},
     )
-    state, cmvn_stats, _ = restore_checkpoint(args.ckpt, template)
+    state, cmvn_stats, _ = restore_checkpoint(args.ckpt, template, params_only=True)
 
     os.makedirs(args.out, exist_ok=True)
     by_id = {u.utt_id: u for u in dev_utts}

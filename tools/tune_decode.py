@@ -129,7 +129,7 @@ def main(argv=None):
         {"audio": first.audio, "audio_len": first.audio_len,
          "labels": first.labels, "label_len": first.label_len},
     )
-    state, cmvn_stats, meta = restore_checkpoint(args.ckpt, template)
+    state, cmvn_stats, meta = restore_checkpoint(args.ckpt, template, params_only=True)
     if meta.get("vocab"):
         tokenizer = CharTokenizer.from_json(meta["vocab"])
     by_id = {u.utt_id: u for u in dev_utts}
