@@ -262,6 +262,86 @@ def _ctc_bwd(residuals, g):
 ctc_loss.defvjp(_ctc_fwd, _ctc_bwd)
 
 
+def ctc_viterbi_align(logp, input_lens, labels, label_lens, blank_id=0):
+    """CTC forced alignment: the single most likely frame↔state path.
+
+    Same lattice as the loss (blank-interleaved states [B, S=2L+1]);
+    the recursion is the alpha scan with max in place of logsumexp,
+    recording the argmax predecessor (0/1/2 = stay/advance/skip) per
+    state, then a reverse scan backtraces the best path — all on
+    device, jit-friendly (static shapes, two ``lax.scan``s).
+
+    Returns ``(states [B, T] int32, score [B])``: ``states[b, t]`` is
+    the lattice state occupied at frame t (odd state 2k+1 = emitting
+    token k, even = blank; -1 past ``input_lens[b]`` or for infeasible
+    rows, whose score is NEG_INF). ``score`` is the log-probability of
+    the best alignment. ``logp`` must be log-softmaxed [B, T, V].
+    """
+    B, T, V = logp.shape
+    L = labels.shape[1]
+    S = 2 * L + 1
+    ext = _expand_labels(labels, blank_id)
+    allow_skip = _transition_mask(ext, blank_id)
+    state_valid = jnp.arange(S)[None, :] < (2 * label_lens + 1)[:, None]
+    time_mask = jnp.arange(T)[:, None] < input_lens[None, :]  # [T,B]
+    logp_states = _gather_states(logp, ext)  # [T,B,S]
+
+    init = jnp.where(
+        (jnp.arange(S)[None, :] <= 1) & state_valid,
+        logp_states[0], NEG_INF)  # delta_0
+    init = jnp.where(time_mask[0][:, None], init, NEG_INF)
+
+    def step(delta, inp):
+        emit, tmask = inp
+        d1 = jnp.pad(delta, ((0, 0), (1, 0)), constant_values=NEG_INF)[:, :-1]
+        d2 = jnp.pad(delta, ((0, 0), (2, 0)), constant_values=NEG_INF)[:, :-2]
+        d2 = jnp.where(allow_skip, d2, NEG_INF)
+        stacked = jnp.stack([delta, d1, d2], axis=0)  # [3,B,S]
+        choice = jnp.argmax(stacked, axis=0).astype(jnp.int8)
+        best = jnp.max(stacked, axis=0)
+        new = jnp.where(state_valid, best + emit, NEG_INF)
+        new = jnp.where(tmask[:, None], new, delta)  # freeze past seq end
+        return new, (new, choice)
+
+    delta_last, (deltas, choices) = jax.lax.scan(
+        step, init, (logp_states[1:], time_mask[1:]))
+    # choices[t-1] aligns with frame t (t in 1..T-1).
+    choices = jnp.concatenate(
+        [jnp.zeros((1, B, S), jnp.int8), choices], axis=0)  # [T,B,S]
+
+    last_state = 2 * label_lens  # [B]
+    dL = jnp.take_along_axis(delta_last, last_state[:, None], axis=1)[:, 0]
+    dLm1 = jnp.take_along_axis(
+        delta_last, jnp.maximum(last_state - 1, 0)[:, None], axis=1)[:, 0]
+    dLm1 = jnp.where(label_lens > 0, dLm1, NEG_INF)
+    score = jnp.maximum(dL, dLm1)
+    s_fin = jnp.where(dL >= dLm1, last_state,
+                      jnp.maximum(last_state - 1, 0)).astype(jnp.int32)
+
+    lens = input_lens.astype(jnp.int32)
+
+    def bt_step(s, inp):
+        choice_t, t = inp  # [B,S], scalar
+        is_last = t == lens - 1
+        s = jnp.where(is_last, s_fin, s)
+        active = t < lens
+        out = jnp.where(active, s, -1)
+        ch = jnp.take_along_axis(
+            choice_t, jnp.maximum(s, 0)[:, None], axis=1)[:, 0]
+        s = jnp.where(active & (t > 0), s - ch.astype(jnp.int32), s)
+        return s, out
+
+    _, states_rev = jax.lax.scan(
+        bt_step, jnp.zeros((B,), jnp.int32),
+        (choices[::-1], jnp.arange(T - 1, -1, -1)))
+    states = states_rev[::-1].T  # [B,T]
+    ok = _feasible(input_lens, labels, label_lens, blank_id) & (
+        label_lens >= 0)
+    states = jnp.where(ok[:, None], states, -1)
+    score = jnp.where(ok, score, NEG_INF)
+    return states.astype(jnp.int32), score
+
+
 def ctc_greedy_decode(logits: jnp.ndarray, input_lens: jnp.ndarray,
                       blank_id: int = 0):
     """Greedy CTC decode [BASELINE.json:L7]: framewise argmax; repeats and
