@@ -342,6 +342,27 @@ def ctc_viterbi_align(logp, input_lens, labels, label_lens, blank_id=0):
     return states.astype(jnp.int32), score
 
 
+def spans_from_states(states_row, tokens, sec_per_frame: float):
+    """Host-side: a Viterbi state row [T] (ctc_viterbi_align output) ->
+    per-token {token, start_s, end_s} spans. Token k emits on lattice
+    state 2k+1; a token absorbed into a skip transition gets None."""
+    import numpy as np  # host-only helper
+
+    states_row = np.asarray(states_row)
+    spans = []
+    for k, tok in enumerate(tokens):
+        frames = np.nonzero(states_row == 2 * k + 1)[0]
+        if len(frames) == 0:
+            spans.append({"token": tok, "start_s": None, "end_s": None})
+            continue
+        spans.append({
+            "token": tok,
+            "start_s": round(float(frames[0]) * sec_per_frame, 4),
+            "end_s": round(float(frames[-1] + 1) * sec_per_frame, 4),
+        })
+    return spans
+
+
 def ctc_greedy_decode(logits: jnp.ndarray, input_lens: jnp.ndarray,
                       blank_id: int = 0):
     """Greedy CTC decode [BASELINE.json:L7]: framewise argmax; repeats and

@@ -86,6 +86,11 @@ def main(argv=None):
                    help="override decode.method (greedy|beam|ctc_beam)")
     p.add_argument("--output", type=str, default="",
                    help="also write decode-style JSONL records here")
+    p.add_argument("--timestamps", action="store_true",
+                   help="add per-token {token, start_s, end_s} spans to "
+                        "the JSONL records by CTC-force-aligning each "
+                        "hypothesis (needs a CTC-trained head, i.e. "
+                        "loss.mtl_alpha > 0 at training time)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
     args = p.parse_args(argv)
 
@@ -135,9 +140,33 @@ def main(argv=None):
     else:
         decoder = make_greedy_decoder(model, config, cmvn_stats)
 
+    align_fn = sec_per_frame = None
+    if args.timestamps:
+        from gluon_e2e_asr_tpu.frontend.features import frontend_apply
+        from gluon_e2e_asr_tpu.ops.ctc import (
+            ctc_viterbi_align, spans_from_states,
+        )
+
+        @jax.jit
+        def align_fn(params, audio, audio_len, labels, label_len):
+            feats, feat_len = frontend_apply(
+                config.frontend, audio, audio_len, train=False,
+                cmvn_stats=cmvn_stats)
+            _, enc_len, ctc_logits = model.apply(
+                {"params": params}, feats, feat_len, method=model.encode)
+            logp = jax.nn.log_softmax(ctc_logits, axis=-1)
+            return ctc_viterbi_align(logp, enc_len, labels, label_len)
+
+        subsample = 1
+        for f in config.model.enc_subsample:
+            subsample *= int(f)
+        sec_per_frame = (subsample * config.frontend.hop_length
+                         / config.data.sample_rate)
+
     logger = JsonlLogger(args.output, also_stdout=False, mode="w") \
         if args.output else None
     results = {}
+    timestamps = {}
     for b in loader.epoch(0):
         t0 = time.perf_counter()
         if is_beam:
@@ -150,16 +179,42 @@ def main(argv=None):
             texts = ids_to_texts(np.asarray(ids), np.asarray(lens), tokenizer)
             scores = [0.0] * len(texts)
         per_utt = (time.perf_counter() - t0) / max(b.num_real, 1)
+        spans = [None] * len(texts)
+        if align_fn is not None:
+            # Force-align each HYPOTHESIS back to the audio: encode the
+            # texts into the batch's static label shape (clipped to the
+            # bucket's label budget) and Viterbi over the CTC lattice.
+            L = b.labels.shape[1]
+            labels = np.zeros_like(b.labels)
+            label_len = np.zeros_like(b.label_len)
+            for row, t in enumerate(texts):
+                ids_row = tokenizer.encode(t)[:L]
+                labels[row, :len(ids_row)] = ids_row
+                label_len[row] = len(ids_row)
+            states, _ = align_fn(
+                state.params, jnp.asarray(b.audio),
+                jnp.asarray(b.audio_len), jnp.asarray(labels),
+                jnp.asarray(label_len))
+            states = np.asarray(states)
+            for row, t in enumerate(texts):
+                toks = [tokenizer.decode([int(i)])
+                        for i in labels[row][: label_len[row]]]
+                spans[row] = spans_from_states(states[row], toks,
+                                               sec_per_frame)
         for row, utt_id in enumerate(b.utt_ids):
             results[utt_id] = texts[row]
+            timestamps[utt_id] = spans[row]
             if logger is not None:
-                logger.log({
+                rec = {
                     "utt_id": utt_id,
                     "hyp": texts[row],
                     "score": float(scores[row]),
                     "latency_s": round(per_utt, 5),
                     "latency_basis": "batch-amortized-per-utt",
-                })
+                }
+                if spans[row] is not None:
+                    rec["tokens"] = spans[row]
+                logger.log(rec)
     # File order (utt_ids embed the input index), regardless of buckets.
     for utt_id in sorted(results):
         print(f"{utt_id}\t{results[utt_id]}")

@@ -66,6 +66,31 @@ def test_transcribe_long_file_gets_catch_all_bucket(tmp_path):
     assert len(results) == 1
 
 
+def test_transcribe_timestamps(tmp_path):
+    """--timestamps force-aligns each hypothesis and attaches monotone
+    token spans to the JSONL records."""
+    from gluon_e2e_asr_tpu import transcribe
+
+    p = tmp_path / "utt.wav"
+    _write_wav(p, synth_waveform("abc def", seed=5))
+    out = tmp_path / "hyps.jsonl"
+    transcribe.main([
+        "--config", os.path.join(GOLD, "tiny_golden.yaml"),
+        "--ckpt", os.path.join(GOLD, "tiny_golden.msgpack"),
+        "--output", str(out), "--timestamps",
+        str(p),
+    ])
+    (rec,) = [json.loads(line) for line in open(out)]
+    assert len(rec["tokens"]) == len(rec["hyp"])
+    last_end = 0.0
+    for t in rec["tokens"]:
+        if t["start_s"] is None:
+            continue
+        assert t["start_s"] >= last_end - 1e-9
+        assert t["end_s"] > t["start_s"]
+        last_end = t["end_s"]
+
+
 def test_transcribe_missing_file_fails_loudly(tmp_path):
     from gluon_e2e_asr_tpu import transcribe
 

@@ -39,7 +39,7 @@ from gluon_e2e_asr_tpu.data.sampler import BucketSampler, make_bucket_specs
 from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer, tokenizer_from_json
 from gluon_e2e_asr_tpu.frontend.features import frontend_apply
 from gluon_e2e_asr_tpu.models.asr import build_model
-from gluon_e2e_asr_tpu.ops.ctc import ctc_viterbi_align
+from gluon_e2e_asr_tpu.ops.ctc import ctc_viterbi_align, spans_from_states
 from gluon_e2e_asr_tpu.training.checkpoint import restore_checkpoint
 from gluon_e2e_asr_tpu.training.train_step import (
     create_template_state,
@@ -47,22 +47,6 @@ from gluon_e2e_asr_tpu.training.train_step import (
 )
 from gluon_e2e_asr_tpu.training.trainer import build_datasets
 from gluon_e2e_asr_tpu.utils.logging import JsonlLogger
-
-
-def spans_from_states(states_row, tokens, sec_per_frame):
-    """[T] lattice states -> per-token (start_s, end_s) spans."""
-    spans = []
-    for k, tok in enumerate(tokens):
-        frames = np.nonzero(states_row == 2 * k + 1)[0]
-        if len(frames) == 0:
-            spans.append({"token": tok, "start_s": None, "end_s": None})
-            continue
-        spans.append({
-            "token": tok,
-            "start_s": round(float(frames[0]) * sec_per_frame, 4),
-            "end_s": round(float(frames[-1] + 1) * sec_per_frame, 4),
-        })
-    return spans
 
 
 def main(argv=None):
