@@ -15,10 +15,12 @@ spec.loader.exec_module(align_tool)
 
 def test_align_cli_emits_monotone_spans(tmp_path):
     out = tmp_path / "align.jsonl"
+    ctm = tmp_path / "align.ctm"
     rc = align_tool.main([
         "--config", os.path.join(GOLD, "tiny_golden.yaml"),
         "--ckpt", os.path.join(GOLD, "tiny_golden.msgpack"),
         "--output", str(out),
+        "--ctm", str(ctm),
         "--num", "4",
     ])
     assert rc == 0
@@ -36,3 +38,8 @@ def test_align_cli_emits_monotone_spans(tmp_path):
             assert t["end_s"] > t["start_s"]
             last_end = t["end_s"]
         assert r["score"] > -1e20  # feasible alignment found
+    # CTM: 5 fields per line, durations positive, utts covered
+    ctm_lines = [l.split() for l in open(ctm)]
+    assert ctm_lines and all(len(f) == 5 for f in ctm_lines)
+    assert {f[0] for f in ctm_lines} <= {r["utt_id"] for r in recs}
+    assert all(float(f[3]) > 0 for f in ctm_lines)

@@ -49,6 +49,17 @@ from gluon_e2e_asr_tpu.training.trainer import build_datasets
 from gluon_e2e_asr_tpu.utils.logging import JsonlLogger
 
 
+def write_ctm(fh, utt_id, spans):
+    """sclite CTM lines: ``utt channel start dur token`` (channel 1;
+    whitespace tokens rendered as <sp>; unaligned tokens skipped)."""
+    for s in spans:
+        if s["start_s"] is None:
+            continue
+        tok = s["token"] if s["token"].strip() else "<sp>"
+        fh.write(f"{utt_id} 1 {s['start_s']:.4f} "
+                 f"{s['end_s'] - s['start_s']:.4f} {tok}\n")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="CTC forced alignment of reference transcripts")
@@ -57,6 +68,9 @@ def main(argv=None):
     p.add_argument("--output", type=str, default="align.jsonl")
     p.add_argument("--num", type=int, default=0,
                    help="align at most N utterances (0 = all)")
+    p.add_argument("--ctm", type=str, default="",
+                   help="also write sclite CTM lines "
+                        "(utt_id channel start_s dur_s token)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
     args = p.parse_args(argv)
 
@@ -120,6 +134,7 @@ def main(argv=None):
 
     by_id = {u.utt_id: u for u in dev_utts}
     logger = JsonlLogger(args.output, also_stdout=False, mode="w")
+    ctm = open(args.ctm, "w") if args.ctm else None
     n = 0
     for b in loader.epoch(0):
         states, score = align_fn(
@@ -130,15 +145,19 @@ def main(argv=None):
             text = by_id[utt_id].text
             toks = [tokenizer.decode([int(i)])
                     for i in b.labels[row][: b.label_len[row]]]
+            spans = spans_from_states(states[row], toks, sec_per_frame)
             logger.log({
                 "utt_id": utt_id,
                 "text": text,
                 "score": float(score[row]),
-                "tokens": spans_from_states(states[row], toks,
-                                            sec_per_frame),
+                "tokens": spans,
             })
+            if ctm is not None:
+                write_ctm(ctm, utt_id, spans)
             n += 1
     logger.close()
+    if ctm is not None:
+        ctm.close()
     print(json.dumps({"event": "align_done", "num_utts": n,
                       "sec_per_frame": sec_per_frame,
                       "output": args.output}))
