@@ -284,7 +284,14 @@ def ctc_viterbi_align(logp, input_lens, labels, label_lens, blank_id=0):
     allow_skip = _transition_mask(ext, blank_id)
     state_valid = jnp.arange(S)[None, :] < (2 * label_lens + 1)[:, None]
     time_mask = jnp.arange(T)[:, None] < input_lens[None, :]  # [T,B]
-    logp_states = _gather_states(logp, ext)  # [T,B,S]
+    # Exact gather (take_along_axis), NOT the one-hot einsum the loss
+    # uses: at default TPU matmul precision the einsum rounds emissions
+    # to bf16, and argmax backtrace is tie-sensitive — near-tie paths
+    # could flip with precision settings. Alignment batches are small;
+    # the gather's cost is negligible here.
+    logp_states = jnp.transpose(
+        jnp.take_along_axis(logp, ext[:, None, :], axis=2), (1, 0, 2)
+    )  # [T,B,S]
 
     init = jnp.where(
         (jnp.arange(S)[None, :] <= 1) & state_valid,
@@ -301,9 +308,9 @@ def ctc_viterbi_align(logp, input_lens, labels, label_lens, blank_id=0):
         best = jnp.max(stacked, axis=0)
         new = jnp.where(state_valid, best + emit, NEG_INF)
         new = jnp.where(tmask[:, None], new, delta)  # freeze past seq end
-        return new, (new, choice)
+        return new, choice
 
-    delta_last, (deltas, choices) = jax.lax.scan(
+    delta_last, choices = jax.lax.scan(
         step, init, (logp_states[1:], time_mask[1:]))
     # choices[t-1] aligns with frame t (t in 1..T-1).
     choices = jnp.concatenate(

@@ -63,15 +63,35 @@ def build_file_utts(paths, sample_rate):
 
 def specs_covering(config, max_dur):
     """Eval bucket specs, extended with a catch-all bucket so files
-    longer than the configured bounds are transcribed, not dropped."""
+    longer than the configured bounds are transcribed, not dropped.
+
+    The catch-all is appended AFTER the configured specs are built:
+    with ``data.dynamic_batch`` the per-bucket batch size scales as
+    largest_bound/bound, so folding one long input into the bound list
+    would inflate every short bucket's batch size (and its compiled
+    shape) proportionally to that file. The catch-all itself gets a
+    dynamic size relative to the configured largest bound, floored at 1.
+    """
+    from gluon_e2e_asr_tpu.data.sampler import BucketSpec
+
     bounds = list(config.data.bucket_bounds_sec)
-    if max_dur > bounds[-1]:
-        bounds.append(float(np.ceil(max_dur * 2) / 2))  # round up to 0.5 s
-    return make_bucket_specs(
+    specs = make_bucket_specs(
         bounds, config.data.sample_rate, config.data.batch_size,
         config.data.max_label_len, config.frontend.hop_length,
         config.data.dynamic_batch,
     )
+    if max_dur > bounds[-1]:
+        b = float(np.ceil(max_dur * 2) / 2)  # round up to 0.5 s
+        hop = config.frontend.hop_length
+        n = int(round(b * config.data.sample_rate))
+        n = ((n + hop - 1) // hop) * hop
+        bs = config.data.batch_size
+        if config.data.dynamic_batch:
+            bs = max(1, int(bs * bounds[-1] / b))
+        specs.append(BucketSpec(
+            max_samples=n, max_labels=config.data.max_label_len,
+            batch_size=bs))
+    return specs
 
 
 def main(argv=None):
@@ -83,16 +103,20 @@ def main(argv=None):
                    help="the training recipe yaml (model/frontend fields "
                         "must match the checkpoint)")
     p.add_argument("--method", type=str, default="",
-                   help="override decode.method (greedy|beam|ctc_beam)")
+                   choices=["", "greedy", "beam", "ctc_beam"],
+                   help="override decode.method")
     p.add_argument("--output", type=str, default="",
                    help="also write decode-style JSONL records here")
     p.add_argument("--timestamps", action="store_true",
                    help="add per-token {token, start_s, end_s} spans to "
-                        "the JSONL records by CTC-force-aligning each "
-                        "hypothesis (needs a CTC-trained head, i.e. "
+                        "the --output JSONL records by CTC-force-aligning "
+                        "each hypothesis (needs a CTC-trained head, i.e. "
                         "loss.mtl_alpha > 0 at training time)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
     args = p.parse_args(argv)
+    if args.timestamps and not args.output:
+        p.error("--timestamps writes token spans into the JSONL records; "
+                "pass --output as well")
 
     config = load_config(args.config) if args.config else Config()
     apply_overrides(config, args.set)
@@ -166,8 +190,18 @@ def main(argv=None):
     logger = JsonlLogger(args.output, also_stdout=False, mode="w") \
         if args.output else None
     results = {}
-    timestamps = {}
+    warmed = set()
     for b in loader.epoch(0):
+        if b.bucket not in warmed:
+            # One untimed pass per bucket shape so the emitted latency_s
+            # measures device time, not XLA compilation (same discipline
+            # as decode.py).
+            out = decoder(state.params, jnp.asarray(b.audio),
+                          jnp.asarray(b.audio_len))
+            for leaf in jax.tree_util.tree_leaves(out):
+                if hasattr(leaf, "block_until_ready"):
+                    np.asarray(leaf)
+            warmed.add(b.bucket)
         t0 = time.perf_counter()
         if is_beam:
             texts, scores = decoder(state.params, jnp.asarray(b.audio),
@@ -203,7 +237,6 @@ def main(argv=None):
                                                sec_per_frame)
         for row, utt_id in enumerate(b.utt_ids):
             results[utt_id] = texts[row]
-            timestamps[utt_id] = spans[row]
             if logger is not None:
                 rec = {
                     "utt_id": utt_id,
@@ -215,9 +248,12 @@ def main(argv=None):
                 if spans[row] is not None:
                     rec["tokens"] = spans[row]
                 logger.log(rec)
-    # File order (utt_ids embed the input index), regardless of buckets.
-    for utt_id in sorted(results):
-        print(f"{utt_id}\t{results[utt_id]}")
+    # File order, regardless of buckets (NOT a lexicographic sort of the
+    # ids: the zero-padded index prefix widens past 9999 inputs and
+    # would interleave).
+    for u in utts:
+        if u.utt_id in results:
+            print(f"{u.utt_id}\t{results[u.utt_id]}")
     if logger is not None:
         logger.close()
     return results

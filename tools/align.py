@@ -103,6 +103,11 @@ def main(argv=None):
     )
     sampler = BucketSampler(dev_utts, specs, config.data.sample_rate,
                             seed=0, shuffle=False)
+    if sampler.skipped:
+        print(f"warning: {len(sampler.skipped)} utterance(s) exceed every "
+              "bucket bound (duration or label budget) and are NOT "
+              "aligned — raise data.bucket_bounds_sec / "
+              "data.max_label_len", file=sys.stderr)
     loader = DataLoader(dev_utts, sampler, tokenizer,
                         config.data.sample_rate)
 
@@ -136,6 +141,7 @@ def main(argv=None):
     logger = JsonlLogger(args.output, also_stdout=False, mode="w")
     ctm = open(args.ctm, "w") if args.ctm else None
     n = 0
+    n_trunc = 0
     for b in loader.epoch(0):
         states, score = align_fn(
             state.params, jnp.asarray(b.audio), jnp.asarray(b.audio_len),
@@ -146,21 +152,37 @@ def main(argv=None):
             toks = [tokenizer.decode([int(i)])
                     for i in b.labels[row][: b.label_len[row]]]
             spans = spans_from_states(states[row], toks, sec_per_frame)
-            logger.log({
+            rec = {
                 "utt_id": utt_id,
                 "text": text,
                 "score": float(score[row]),
                 "tokens": spans,
-            })
+            }
+            # The loader clips labels to the bucket's label budget —
+            # a transcript longer than that would otherwise lose its
+            # tail tokens SILENTLY.
+            full_len = len(tokenizer.encode(text))
+            if int(b.label_len[row]) < full_len:
+                rec["truncated"] = True
+                n_trunc += 1
+            logger.log(rec)
             if ctm is not None:
                 write_ctm(ctm, utt_id, spans)
             n += 1
     logger.close()
     if ctm is not None:
         ctm.close()
-    print(json.dumps({"event": "align_done", "num_utts": n,
-                      "sec_per_frame": sec_per_frame,
-                      "output": args.output}))
+    summary = {"event": "align_done", "num_utts": n,
+               "skipped": len(sampler.skipped),
+               "sec_per_frame": sec_per_frame,
+               "output": args.output}
+    if n_trunc:
+        summary["truncated"] = n_trunc
+        print(f"warning: {n_trunc} transcript(s) exceeded the bucket "
+              "label budget; their tail tokens are missing from the "
+              "alignment (records carry truncated: true)",
+              file=sys.stderr)
+    print(json.dumps(summary))
     return 0
 
 
