@@ -56,7 +56,8 @@ def main(argv=None):
     p.add_argument("--ckpt", type=str, required=True)
     p.add_argument("--output", type=str, default="")
     p.add_argument("--method", type=str, default="",
-                   help="override decode.method (greedy|beam)")
+                   choices=["", "greedy", "beam", "ctc_beam"],
+                   help="override decode.method")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
                    help="dotted config override, e.g. decode.beam_size=20 "
                         "(repeatable)")
