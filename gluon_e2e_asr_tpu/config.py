@@ -105,6 +105,22 @@ class FrontendConfig:
 class ModelConfig:
     """L3 models [BASELINE.json:L7,L9]."""
 
+    # Encoder type: "blstm" (stacked pyramidal BiLSTM, the default) or
+    # "vggblstm" (VGG2L conv front + BiLSTM stack — the hybrid
+    # CTC/attention family's other standard encoder [SURVEY.md §2.1 #8,
+    # INFERRED-med for the conv variant]). The VGG front is two stages
+    # of (3x3 conv + ReLU) x2 followed by 2x2 max-pool, i.e. a fixed 4x
+    # time reduction; vggblstm recipes therefore usually set
+    # enc_subsample to all 1s. Convs are plain MXU-tiled XLA convolutions
+    # (NHWC, compute_dtype) — no custom kernel needed.
+    enc_type: str = "blstm"
+    # VGG2L stage output channels (two pool stages).
+    vgg_channels: Tuple[int, ...] = (64, 128)
+    # Input channels for the conv front: 1 for static log-mel; set to
+    # 1 + frontend.deltas when delta features are enabled (the deltas
+    # post-stage concatenates [static | d | dd] along the feature axis,
+    # which the VGG front unstacks into channels).
+    vgg_in_channels: int = 1
     # Encoder: stacked BiLSTM with pyramidal time subsampling.
     enc_hidden: int = 320
     enc_layers: int = 3
@@ -139,6 +155,22 @@ class ModelConfig:
     # the shape is unsupported (dec_layers > 1, att_type "dot", or over
     # the VMEM budget).
     dec_impl: str = "scan"
+
+
+def encoder_time_reduction(model: "ModelConfig") -> int:
+    """Total frontend-frame -> encoder-frame time reduction factor.
+
+    prod(enc_subsample) times the VGG front's fixed 2x-per-pool-stage
+    reduction when enc_type == "vggblstm". Timestamp consumers
+    (transcribe --timestamps, tools/align.py) use this to convert
+    encoder-frame indices to seconds.
+    """
+    r = 1
+    for f in model.enc_subsample:
+        r *= int(f)
+    if model.enc_type == "vggblstm":
+        r *= 2 ** len(model.vgg_channels)
+    return r
 
 
 @dataclass

@@ -34,6 +34,61 @@ def subsample_concat(x: jnp.ndarray, lens: jnp.ndarray, factor: int):
     return x, new_lens
 
 
+class VGG2L(nn.Module):
+    """VGG2L conv front: per stage, (3x3 conv + ReLU) x2 then 2x2 max-pool.
+
+    The family's standard conv-subsampling encoder front ("vggblstm"
+    [SURVEY.md §2.1 #8, INFERRED-med for the conv variant]). TPU-first
+    realization: NHWC ``nn.Conv`` stacks that XLA tiles onto the MXU in
+    ``compute_dtype`` — large batched convs, static shapes, no custom
+    kernel. Each stage halves both time and feature axes (SAME pooling,
+    so lens map as ceil(len/2) per stage); frames past the reduced
+    length are re-zeroed after every stage so padded buckets stay
+    deterministic and bucket-size-invariant (the frontend contract,
+    frontend/features.py::compute_features).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, lens: jnp.ndarray, cdtype):
+        cfg = self.cfg
+        B, T, D = feats.shape
+        C = int(cfg.vgg_in_channels)
+        if D % C != 0:
+            raise ValueError(
+                f"feature dim {D} is not divisible by vgg_in_channels={C} "
+                "(set vgg_in_channels = 1 + frontend.deltas)"
+            )
+        F = D // C
+        # Deltas concatenate [static | d | dd] along the feature axis;
+        # unstack those blocks into conv input channels: [B,T,F,C].
+        x = feats.reshape(B, T, C, F).transpose(0, 1, 3, 2).astype(cdtype)
+        for stage, ch in enumerate(cfg.vgg_channels):
+            # Conv bias + ReLU make padded frames nonzero; re-zero after
+            # EVERY conv so the next conv's boundary window sees zeros
+            # regardless of how far the bucket is padded (otherwise a
+            # relu(bias) frame just past ``lens`` leaks into the last
+            # valid frames and breaks bucket-size invariance).
+            valid = (jnp.arange(x.shape[1])[None, :] < lens[:, None])
+            for sub in range(2):
+                x = nn.Conv(
+                    int(ch), (3, 3), padding="SAME", dtype=cdtype,
+                    name=f"conv{stage + 1}_{sub + 1}",
+                )(x)
+                x = nn.relu(x)
+                x = jnp.where(valid[:, :, None, None], x, 0)
+            # SAME pooling == ceil(T/2): every valid frame lands in a
+            # window whose start index is even, independent of bucket T.
+            x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+            lens = (lens + 1) // 2
+        Tr, Fr, Cr = x.shape[1], x.shape[2], x.shape[3]
+        # Hand the LSTM stack f32, matching the frontend's output contract
+        # (each layer casts to compute_dtype internally).
+        out = x.reshape(B, Tr, Fr * Cr).astype(jnp.float32)
+        return out, lens.astype(jnp.int32)
+
+
 class BiLSTMEncoder(nn.Module):
     """Stacked BiLSTM with per-layer subsampling and a CTC head."""
 
@@ -46,6 +101,10 @@ class BiLSTMEncoder(nn.Module):
         cfg = self.cfg
         cdtype = jnp.dtype(cfg.compute_dtype)
         x, lens = feats, feat_len
+        if cfg.enc_type == "vggblstm":
+            x, lens = VGG2L(cfg, name="vgg")(x, lens, cdtype)
+        elif cfg.enc_type != "blstm":
+            raise ValueError(f"unknown enc_type {cfg.enc_type!r}")
         subs = tuple(cfg.enc_subsample) + (1,) * max(
             0, cfg.enc_layers - len(cfg.enc_subsample)
         )

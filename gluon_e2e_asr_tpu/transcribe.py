@@ -181,10 +181,10 @@ def main(argv=None):
             logp = jax.nn.log_softmax(ctc_logits, axis=-1)
             return ctc_viterbi_align(logp, enc_len, labels, label_len)
 
-        subsample = 1
-        for f in config.model.enc_subsample:
-            subsample *= int(f)
-        sec_per_frame = (subsample * config.frontend.hop_length
+        from gluon_e2e_asr_tpu.config import encoder_time_reduction
+
+        sec_per_frame = (encoder_time_reduction(config.model)
+                         * config.frontend.hop_length
                          / config.data.sample_rate)
 
     logger = JsonlLogger(args.output, also_stdout=False, mode="w") \

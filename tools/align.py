@@ -12,7 +12,9 @@ on device) and emits one JSONL record per utterance:
     {utt_id, text, score, tokens: [{token, start_s, end_s}, ...]}
 
 Times are in seconds: encoder frame f spans
-``f*R*hop/sr .. (f+1)*R*hop/sr`` where R = prod(model.enc_subsample).
+``f*R*hop/sr .. (f+1)*R*hop/sr`` where R = the encoder's total time
+reduction (config.encoder_time_reduction: prod(enc_subsample), times 4
+for the vggblstm conv front).
 Requires a CTC-trained head (loss.mtl_alpha > 0 during training).
 """
 
@@ -132,9 +134,9 @@ def main(argv=None):
         logp = jax.nn.log_softmax(ctc_logits, axis=-1)
         return ctc_viterbi_align(logp, enc_len, labels, label_len)
 
-    R = 1
-    for f in config.model.enc_subsample:
-        R *= int(f)
+    from gluon_e2e_asr_tpu.config import encoder_time_reduction
+
+    R = encoder_time_reduction(config.model)
     sec_per_frame = R * config.frontend.hop_length / config.data.sample_rate
 
     by_id = {u.utt_id: u for u in dev_utts}
