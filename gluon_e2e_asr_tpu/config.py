@@ -36,6 +36,13 @@ class DataConfig:
     synth_min_tokens: int = 3
     synth_max_tokens: int = 12
     synth_seed: int = 1234
+    # Transcript language for the synthetic fixture: "random" (uniform
+    # character draws — linguistically null) or "english" (word windows
+    # from the checked-in English pool, data/english_pool.txt), which is
+    # what LM-fusion/BPE/rescoring experiments need to show signal
+    # [VERDICT.md round-2 item 1]. Both modes bound the transcript's
+    # CHARACTER length by synth_min_tokens/synth_max_tokens.
+    synth_text: str = "random"
     # Bucketed batching: static bucket shapes so each bucket hits a cached
     # XLA compilation [BASELINE.json:L5 "bucketed padding"].
     bucket_bounds_sec: Tuple[float, ...] = (2.0, 4.0, 8.0, 16.0)

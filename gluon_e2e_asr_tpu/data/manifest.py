@@ -79,6 +79,54 @@ def synth_waveform(
     return np.clip(wav, -1.0, 1.0).astype(np.float32)
 
 
+_ENGLISH_POOL: Optional[List[str]] = None
+
+
+def english_pool() -> List[str]:
+    """The checked-in English sentence pool (normalized real prose).
+
+    Generated once by ``tools/extract_english_pool.py`` from the Python
+    documentation corpus and committed, so synthetic transcripts can
+    carry genuine English word structure [VERDICT.md round-2 item 1] —
+    the property LM fusion / BPE / rescoring experiments exist to
+    exploit — without a runtime dependency on the source text.
+    """
+    global _ENGLISH_POOL
+    if _ENGLISH_POOL is None:
+        path = os.path.join(os.path.dirname(__file__), "english_pool.txt")
+        with open(path) as f:
+            _ENGLISH_POOL = [
+                ln.strip() for ln in f
+                if ln.strip() and not ln.startswith("#")
+            ]
+    return _ENGLISH_POOL
+
+
+def _sample_english_fragment(
+    rng: np.random.RandomState, min_chars: int, max_chars: int
+) -> str:
+    """Draw a contiguous word window from a pool sentence whose total
+    character length (spaces included) lands in [min_chars, max_chars].
+    Contiguity preserves the within-utterance n-gram structure a
+    language model can learn."""
+    pool = english_pool()
+    for _ in range(200):
+        words = pool[rng.randint(len(pool))].split()
+        start = int(rng.randint(len(words)))
+        picked: List[str] = []
+        length = -1  # first word adds len(w), later ones 1 + len(w)
+        for w in words[start:]:
+            if length + 1 + len(w) > max_chars:
+                break
+            picked.append(w)
+            length += 1 + len(w)
+        if length >= min_chars:
+            return " ".join(picked)
+    # Degenerate bounds (e.g. max_chars smaller than any word): fall back
+    # to a truncated common word so the generator never fails.
+    return "the"[:max(max_chars, 1)]
+
+
 def build_synthetic_manifest(
     num_utts: int,
     seed: int,
@@ -87,19 +135,33 @@ def build_synthetic_manifest(
     alphabet: str = DEFAULT_ALPHABET,
     sample_rate: int = 16000,
     prefix: str = "synth",
+    text_mode: str = "random",
 ) -> List[Utterance]:
-    """Deterministic synthetic utterance list (text + seed; audio on demand)."""
+    """Deterministic synthetic utterance list (text + seed; audio on demand).
+
+    ``text_mode``: "random" draws uniform character sequences (the
+    original fixture — zero linguistic structure, by design the null
+    case); "english" draws word windows from the checked-in English
+    pool, giving transcripts real orthographic/word statistics. In both
+    modes min_tokens/max_tokens bound the *character* length, which is
+    what the audio duration and bucket placement depend on.
+    """
+    if text_mode not in ("random", "english"):
+        raise ValueError(f"unknown synth text_mode: {text_mode!r}")
     rng = np.random.RandomState(seed)
     # Use only "letter" characters for text (skip leading space/quote chars).
     letters = [c for c in alphabet if c.isalpha()]
     utts = []
     for i in range(num_utts):
-        n = int(rng.randint(min_tokens, max_tokens + 1))
-        chars = [letters[rng.randint(len(letters))] for _ in range(n)]
-        # occasionally insert a space to exercise the space token
-        if n >= 6:
-            chars[n // 2] = " "
-        text = "".join(chars).strip()
+        if text_mode == "english":
+            text = _sample_english_fragment(rng, min_tokens, max_tokens)
+        else:
+            n = int(rng.randint(min_tokens, max_tokens + 1))
+            chars = [letters[rng.randint(len(letters))] for _ in range(n)]
+            # occasionally insert a space to exercise the space token
+            if n >= 6:
+                chars[n // 2] = " "
+            text = "".join(chars).strip()
         dur = _GAP_SEC + len(text) * (_SEG_SEC + _GAP_SEC)
         utts.append(
             Utterance(

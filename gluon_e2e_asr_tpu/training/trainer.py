@@ -52,11 +52,11 @@ def build_datasets(config: Config) -> Tuple[List[Utterance], List[Utterance]]:
     if dc.dataset == "synthetic":
         train = build_synthetic_manifest(
             dc.synth_num_train, dc.synth_seed, dc.synth_min_tokens,
-            dc.synth_max_tokens, prefix="train",
+            dc.synth_max_tokens, prefix="train", text_mode=dc.synth_text,
         )
         dev = build_synthetic_manifest(
             dc.synth_num_dev, dc.synth_seed + 1, dc.synth_min_tokens,
-            dc.synth_max_tokens, prefix="dev",
+            dc.synth_max_tokens, prefix="dev", text_mode=dc.synth_text,
         )
         return train, dev
     if dc.dataset == "librispeech":

@@ -21,8 +21,11 @@ def test_bench_build_and_measure_smoke(monkeypatch):
     monkeypatch.setattr(bench, "SECONDS", 1.0)
     monkeypatch.setattr(bench, "MAX_LABELS", 12)
     state, step, batch = bench.build(dp=False, batch_size=2)
-    ups = bench.measure(state, step, batch, warmup=1, steps=1)
-    assert np.isfinite(ups) and ups > 0
+    readings = bench.measure(state, step, batch, warmup=1, steps=1,
+                             repeats=2)
+    assert len(readings) == 2
+    for ups in readings:
+        assert np.isfinite(ups) and ups > 0
 
 
 def test_bench_baseline_table_keys():
