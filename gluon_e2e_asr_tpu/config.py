@@ -43,6 +43,18 @@ class DataConfig:
     # [VERDICT.md round-2 item 1]. Both modes bound the transcript's
     # CHARACTER length by synth_min_tokens/synth_max_tokens.
     synth_text: str = "random"
+    # Additive white-noise std in the synthetic waveforms (tone amplitude
+    # ~0.6). The 0.003 default is near-clean (~46 dB SNR); quality
+    # experiments raise it so the base WER has headroom for LM fusion /
+    # rescoring to show signal (ceiling-effect guard).
+    synth_noise: float = 0.003
+    # Per-character frequency jitter std (multiplicative). Adjacent
+    # character tones are ~6% apart mid-range; ~0.03+ makes neighbors
+    # acoustically confusable — the substitution-error model a language
+    # model can fix. White noise alone is integrated away by the
+    # mel+LSTM processing gain (measured: dev WER ~2% even at
+    # synth_noise=0.30), so THIS is the knob that sets the error floor.
+    synth_jitter: float = 0.01
     # Bucketed batching: static bucket shapes so each bucket hits a cached
     # XLA compilation [BASELINE.json:L5 "bucketed padding"].
     bucket_bounds_sec: Tuple[float, ...] = (2.0, 4.0, 8.0, 16.0)
@@ -172,8 +184,12 @@ def encoder_time_reduction(model: "ModelConfig") -> int:
     (transcribe --timestamps, tools/align.py) use this to convert
     encoder-frame indices to seconds.
     """
+    # Only the first enc_layers factors are applied by the layer loop in
+    # BiLSTMEncoder (extra entries are never consumed) — slice to match,
+    # so timestamp math agrees with the model for over-long subsample
+    # lists [ADVICE.md round-2 #1].
     r = 1
-    for f in model.enc_subsample:
+    for f in model.enc_subsample[: model.enc_layers]:
         r *= int(f)
     if model.enc_type == "vggblstm":
         r *= 2 ** len(model.vgg_channels)
@@ -206,7 +222,11 @@ class TrainConfig:
     seed: int = 0
     num_epochs: int = 10
     max_steps: int = -1  # if >0, stop after this many optimizer steps
-    # "adam" (adamw + warmup->inv-sqrt LR), "sgd" (momentum 0.9), or
+    # "adam"/"adamw" (optax.adamw + warmup->inv-sqrt LR; both names take
+    # the same path — with the default weight_decay=0.0 it is exactly
+    # plain Adam, and any weight_decay > 0 is applied DECOUPLED
+    # (AdamW-style), which deviates from the reference family's L2-coupled
+    # "adam" [VERDICT.md round-2 weak 7]), "sgd" (momentum 0.9), or
     # "adadelta" — the reference family's classic RNN-ASR optimizer
     # (run it ESPnet-style: learning_rate 1.0, warmup_steps 0, with the
     # plateau eps decay below).
@@ -259,6 +279,12 @@ class TrainConfig:
     # Checkpointing / metrics.
     ckpt_dir: str = "ckpts"
     keep_ckpts: int = 3
+    # Retention policy: "last" keeps the most recent keep_ckpts (+ best
+    # symlink target); "best" keeps the keep_ckpts LOWEST-dev-WER epochs
+    # (+ the newest, which resume needs) — use with
+    # tools/average_ckpts.py, whose pool last-K retention late-biases
+    # [VERDICT.md round-2 item 7].
+    keep_policy: str = "last"
     ckpt_every_steps: int = 0  # 0 = epoch boundary only
     metrics_path: str = "metrics.jsonl"
     log_every_steps: int = 10

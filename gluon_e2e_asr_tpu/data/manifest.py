@@ -37,6 +37,22 @@ class Utterance:
     # For synthetic data, the waveform is regenerated on demand from the
     # seed rather than stored, keeping manifests tiny and deterministic.
     synth_seed: int = -1
+    # Additive white-noise std for synthetic audio (the tone amplitude is
+    # ~0.6, so 0.003 is ~46 dB SNR — near-clean). Raising it sets a real
+    # acoustic error floor, which quality experiments need to escape the
+    # ceiling effect (a near-0% base WER leaves LM fusion/rescoring
+    # nothing to improve). Default preserves the original fixture
+    # bit-for-bit. (Field on Utterance so load_audio can regenerate the
+    # waveform from the manifest alone.)
+    synth_noise: float = 0.003
+    # Multiplicative per-character frequency jitter std. Adjacent
+    # character fundamentals are ~6% apart mid-range, so jitter ~0.03+
+    # makes neighboring characters acoustically CONFUSABLE — the
+    # substitution-error model real ASR has and the one a language model
+    # can actually fix (white noise alone is integrated away by the
+    # mel+LSTM processing gain: measured dev WER stayed ~2% even at
+    # noise=0.30). Default preserves the original fixture bit-for-bit.
+    synth_jitter: float = 0.01
 
 
 # ---------------------------------------------------------------------------
@@ -59,6 +75,8 @@ def synth_waveform(
     seed: int,
     sample_rate: int = 16000,
     alphabet: str = DEFAULT_ALPHABET,
+    noise: float = 0.003,
+    jitter: float = 0.01,
 ) -> np.ndarray:
     """Render ``text`` to a float32 waveform in [-1, 1]. Deterministic."""
     rng = np.random.RandomState(seed & 0x7FFFFFFF)
@@ -67,15 +85,15 @@ def synth_waveform(
     pieces: List[np.ndarray] = [np.zeros(gap_n, np.float32)]
     for ch in text.lower():
         f0 = _char_freq(ch, alphabet)
-        # small deterministic jitter per occurrence
-        f = f0 * (1.0 + 0.01 * rng.randn())
+        # deterministic per-occurrence frequency jitter (confusability knob)
+        f = f0 * (1.0 + jitter * rng.randn())
         t = np.arange(seg_n, dtype=np.float32) / sample_rate
         env = np.hanning(seg_n).astype(np.float32)
         tone = 0.6 * np.sin(2 * np.pi * f * t) + 0.25 * np.sin(2 * np.pi * 2 * f * t)
         pieces.append((env * tone).astype(np.float32))
         pieces.append(np.zeros(gap_n, np.float32))
     wav = np.concatenate(pieces)
-    wav = wav + 0.003 * rng.randn(len(wav)).astype(np.float32)
+    wav = wav + noise * rng.randn(len(wav)).astype(np.float32)
     return np.clip(wav, -1.0, 1.0).astype(np.float32)
 
 
@@ -136,6 +154,8 @@ def build_synthetic_manifest(
     sample_rate: int = 16000,
     prefix: str = "synth",
     text_mode: str = "random",
+    noise: float = 0.003,
+    jitter: float = 0.01,
 ) -> List[Utterance]:
     """Deterministic synthetic utterance list (text + seed; audio on demand).
 
@@ -169,6 +189,8 @@ def build_synthetic_manifest(
                 text=text,
                 duration=round(dur, 4),
                 synth_seed=seed * 100003 + i,
+                synth_noise=noise,
+                synth_jitter=jitter,
             )
         )
     return utts
@@ -199,7 +221,9 @@ def load_manifest(path: str) -> List[Utterance]:
 def load_audio(utt: Utterance, sample_rate: int = 16000) -> np.ndarray:
     """Return float32 waveform for an utterance (synthetic or wav file)."""
     if utt.synth_seed >= 0:
-        return synth_waveform(utt.text, utt.synth_seed, sample_rate)
+        return synth_waveform(utt.text, utt.synth_seed, sample_rate,
+                              noise=utt.synth_noise,
+                              jitter=utt.synth_jitter)
     if utt.audio_path.endswith(".wav"):
         with wave.open(utt.audio_path, "rb") as w:
             assert w.getframerate() == sample_rate, (

@@ -86,6 +86,17 @@ def build_model(config: Config, vocab_size: int, sos_id: int = 2,
         use_decoder = config.loss.mtl_alpha < 1.0
     if config.train.remat_encoder:
         config.model.remat = True
+    if config.model.enc_type == "vggblstm":
+        # The VGG front unstacks delta blocks into conv input channels;
+        # a mismatch would silently treat deltas as extra frequency bins
+        # (the bare divisibility check passes at vgg_in_channels=1)
+        # [ADVICE.md round-2 #2].
+        want = 1 + int(config.frontend.deltas)
+        if int(config.model.vgg_in_channels) != want:
+            raise ValueError(
+                f"model.vgg_in_channels={config.model.vgg_in_channels} must "
+                f"equal 1 + frontend.deltas = {want} for enc_type=vggblstm"
+            )
     return ASRModel(
         cfg=config.model,
         vocab_size=vocab_size,

@@ -31,7 +31,17 @@ def save_checkpoint(
     cmvn_stats=None,
     keep: int = 3,
     is_best: bool = False,
+    keep_policy: str = "last",
 ) -> str:
+    """Save a checkpoint and prune per the retention policy.
+
+    ``keep_policy="last"`` keeps the most recent ``keep`` checkpoints
+    (plus the best symlink target). ``keep_policy="best"`` keeps the
+    ``keep`` checkpoints with the LOWEST ``dev_wer`` in their sidecar
+    meta (plus the newest checkpoint, which resume needs) — the pool
+    ``tools/average_ckpts.py`` is designed for [VERDICT.md round-2
+    item 7: last-K retention late-biases the averaging pool].
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
     step = int(state.step)
     payload = {
@@ -60,11 +70,13 @@ def save_checkpoint(
             if os.path.lexists(link):
                 os.remove(link)
             os.symlink(os.path.basename(path) + suffix, link)
-    _prune(ckpt_dir, keep)
+    _prune(ckpt_dir, keep, keep_policy)
     return path
 
 
-def _prune(ckpt_dir: str, keep: int) -> None:
+def _prune(ckpt_dir: str, keep: int, keep_policy: str = "last") -> None:
+    if keep <= 0:
+        return
     ckpts = []
     for fn in os.listdir(ckpt_dir):
         m = _CKPT_RE.match(fn)
@@ -75,7 +87,28 @@ def _prune(ckpt_dir: str, keep: int) -> None:
     best = os.path.join(ckpt_dir, "best.msgpack")
     if os.path.islink(best):
         best_target = os.readlink(best)
-    for _, fn in ckpts[:-keep] if keep > 0 else []:
+    if keep_policy == "last":
+        drop = [fn for _, fn in ckpts[:-keep]]
+    elif keep_policy == "best":
+        # Rank by sidecar dev_wer (missing/mid-epoch metas rank worst);
+        # always retain the newest checkpoint — resume depends on it.
+        def dev_wer(fn: str) -> float:
+            try:
+                with open(os.path.join(ckpt_dir, fn + ".json")) as f:
+                    v = json.load(f).get("dev_wer")
+                return float(v) if v is not None else float("inf")
+            except (OSError, ValueError):
+                return float("inf")
+
+        newest = ckpts[-1][1]
+        ranked = sorted(
+            (fn for _, fn in ckpts), key=lambda fn: (dev_wer(fn), fn)
+        )
+        keep_set = set(ranked[:keep]) | {newest}
+        drop = [fn for _, fn in ckpts if fn not in keep_set]
+    else:
+        raise ValueError(f"unknown keep_policy {keep_policy!r}")
+    for fn in drop:
         if fn == best_target:
             continue
         for suffix in ("", ".json"):

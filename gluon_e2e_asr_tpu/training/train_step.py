@@ -52,7 +52,9 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
         )
     else:
         sched = tc.learning_rate
-    if tc.optimizer == "adam":
+    if tc.optimizer in ("adam", "adamw"):
+        # weight_decay=0.0 (the default) makes this exactly plain Adam;
+        # nonzero decay is decoupled (AdamW) — see config.py optimizer doc.
         opt = optax.adamw(sched, weight_decay=tc.weight_decay)
     elif tc.optimizer == "sgd":
         opt = optax.sgd(sched, momentum=0.9)

@@ -53,10 +53,12 @@ def build_datasets(config: Config) -> Tuple[List[Utterance], List[Utterance]]:
         train = build_synthetic_manifest(
             dc.synth_num_train, dc.synth_seed, dc.synth_min_tokens,
             dc.synth_max_tokens, prefix="train", text_mode=dc.synth_text,
+            noise=dc.synth_noise, jitter=dc.synth_jitter,
         )
         dev = build_synthetic_manifest(
             dc.synth_num_dev, dc.synth_seed + 1, dc.synth_min_tokens,
             dc.synth_max_tokens, prefix="dev", text_mode=dc.synth_text,
+            noise=dc.synth_noise, jitter=dc.synth_jitter,
         )
         return train, dev
     if dc.dataset == "librispeech":
@@ -414,7 +416,7 @@ class Trainer:
             else:
                 self._stale_epochs += 1
                 self._plateau_anneal(epoch)
-            self._checkpoint(epoch, is_best)
+            self._checkpoint(epoch, is_best, dev_wer=dev["dev_wer"])
             final = rec
             if 0 < tc.max_steps <= step:
                 break
@@ -482,7 +484,8 @@ class Trainer:
         })
 
     def _checkpoint(self, epoch: int, is_best: Optional[bool],
-                    batches_done: int = -1) -> None:
+                    batches_done: int = -1,
+                    dev_wer: Optional[float] = None) -> None:
         meta = {
             "epoch": epoch,
             "batches_done": batches_done,
@@ -491,6 +494,9 @@ class Trainer:
             "vocab_hash": self.tokenizer.fingerprint(),
             "best_wer": self.best_wer,
         }
+        if dev_wer is not None:
+            # This epoch's dev WER: what keep_policy="best" ranks by.
+            meta["dev_wer"] = float(dev_wer)
         save_checkpoint(
             os.path.join(self.workdir, self.config.train.ckpt_dir),
             self.state,
@@ -498,6 +504,7 @@ class Trainer:
             self.cmvn_stats,
             keep=self.config.train.keep_ckpts,
             is_best=bool(is_best),
+            keep_policy=self.config.train.keep_policy,
         )
 
     def evaluate(self) -> Dict[str, float]:
