@@ -734,3 +734,243 @@ int32_t load_pack_wav_batch(const char** paths, int32_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FLAC encoder (mono, 16-bit, fixed predictors) — corpus-writer hot path.
+//
+// tools/flacenc.py is the COVERAGE encoder (forces every decoder branch
+// for fuzz tests) but runs at ~0.1x realtime in pure Python on this
+// 1-core host; rendering a LibriSpeech-scale synthetic corpus
+// [VERDICT.md round-2 item 3] needs ~100x realtime. This encoder covers
+// the corpus-writer case only: mono, 16 bps, fixed predictors 0..4
+// chosen per block by least-sum-|residual|, one rice partition. Output
+// is spec-compliant subset FLAC (correct CRC-8/CRC-16; STREAMINFO MD5
+// left zero = "unset" per spec), decodable by decode_flac_impl above
+// and any compliant decoder. Format ref: xiph.org/flac/format.html.
+// ---------------------------------------------------------------------------
+
+namespace flacenc {
+
+struct BitWriter {
+  std::vector<uint8_t> buf;
+  uint64_t acc = 0;
+  int nbits = 0;
+  void write(uint64_t v, int nb) {
+    if (nb == 0) return;
+    v &= (nb >= 64) ? ~0ULL : ((1ULL << nb) - 1);
+    acc = (acc << nb) | v;
+    nbits += nb;
+    while (nbits >= 8) {
+      nbits -= 8;
+      buf.push_back(static_cast<uint8_t>((acc >> nbits) & 0xFF));
+    }
+    acc &= (nbits >= 64) ? ~0ULL : ((1ULL << nbits) - 1);
+  }
+  void write_unary(uint32_t q) {
+    while (q >= 32) {
+      write(0, 32);
+      q -= 32;
+    }
+    write(1, q + 1);  // q zeros then the terminating 1
+  }
+  void align() {
+    if (nbits) write(0, 8 - nbits);
+  }
+};
+
+inline uint8_t crc8(const uint8_t* d, size_t n) {
+  uint8_t c = 0;
+  for (size_t i = 0; i < n; ++i) {
+    c ^= d[i];
+    for (int b = 0; b < 8; ++b)
+      c = (c & 0x80) ? static_cast<uint8_t>((c << 1) ^ 0x07)
+                     : static_cast<uint8_t>(c << 1);
+  }
+  return c;
+}
+
+inline uint16_t crc16(const uint8_t* d, size_t n) {
+  uint16_t c = 0;
+  for (size_t i = 0; i < n; ++i) {
+    c ^= static_cast<uint16_t>(d[i]) << 8;
+    for (int b = 0; b < 8; ++b)
+      c = (c & 0x8000) ? static_cast<uint16_t>((c << 1) ^ 0x8005)
+                       : static_cast<uint16_t>(c << 1);
+  }
+  return c;
+}
+
+// FLAC's extended-UTF-8 coding of the frame number.
+inline void utf8_code(uint64_t v, std::vector<uint8_t>& out) {
+  if (v < 0x80) {
+    out.push_back(static_cast<uint8_t>(v));
+    return;
+  }
+  int nbytes = 2;
+  while (v >= (1ULL << ((7 - nbytes) + 6 * (nbytes - 1)))) ++nbytes;
+  const uint8_t lead = static_cast<uint8_t>((0xFF << (8 - nbytes)) & 0xFF);
+  int shift = 6 * (nbytes - 1);
+  out.push_back(static_cast<uint8_t>(lead | (v >> shift)));
+  for (int i = 1; i < nbytes; ++i) {
+    shift -= 6;
+    out.push_back(static_cast<uint8_t>(0x80 | ((v >> shift) & 0x3F)));
+  }
+}
+
+// Residual of the order-k fixed predictor (k diffs), into res.
+inline void fixed_residual(const int16_t* sig, int n, int order,
+                           std::vector<int64_t>& res) {
+  res.resize(static_cast<size_t>(n));
+  for (int i = 0; i < n; ++i) res[i] = sig[i];
+  for (int k = 0; k < order; ++k)
+    for (int i = n - 1; i > k; --i) res[i] -= res[i - 1];
+  // res[order..n) are the residuals; res[0..order) the warmup samples.
+}
+
+inline int best_rice_param(const std::vector<int64_t>& res, int order,
+                           int n, uint64_t* out_cost) {
+  // cost(p) = sum(u >> p) + count * (p + 1), u = zigzag(res)
+  uint64_t best_cost = ~0ULL;
+  int best_p = 0;
+  for (int p = 0; p <= 14; ++p) {
+    uint64_t cost = 0;
+    for (int i = order; i < n; ++i) {
+      const int64_t r = res[i];
+      const uint64_t u =
+          r >= 0 ? (static_cast<uint64_t>(r) << 1)
+                 : ((static_cast<uint64_t>(-r) << 1) - 1);
+      cost += (u >> p);
+      if (cost > best_cost) break;  // early out
+    }
+    cost += static_cast<uint64_t>(n - order) * (p + 1);
+    if (cost < best_cost) {
+      best_cost = cost;
+      best_p = p;
+    }
+  }
+  *out_cost = best_cost;
+  return best_p;
+}
+
+}  // namespace flacenc
+
+extern "C" {
+
+// Encode mono 16-bit PCM to a subset FLAC file. Returns 0 on success,
+// -1 file open failure, -2 bad args.
+int32_t encode_flac_i16(const char* path, const int16_t* pcm, int64_t n,
+                        int32_t sample_rate) {
+  using namespace flacenc;
+  if (n < 0 || sample_rate <= 0 || sample_rate >= (1 << 20)) return -2;
+  std::FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  const int kBlock = 4096;
+
+  // fLaC + STREAMINFO (last metadata block; MD5 zero = unset per spec).
+  BitWriter si;
+  si.write(kBlock, 16);
+  si.write(kBlock, 16);
+  si.write(0, 24);
+  si.write(0, 24);
+  si.write(static_cast<uint64_t>(sample_rate), 20);
+  si.write(0, 3);   // channels - 1
+  si.write(15, 5);  // bps - 1
+  si.write(static_cast<uint64_t>(n), 36);
+  for (int i = 0; i < 16; ++i) si.buf.push_back(0);  // MD5 unset
+  std::fputs("fLaC", f);
+  const uint8_t si_hdr[4] = {0x80 | 0, 0,
+                             static_cast<uint8_t>(si.buf.size() >> 8),
+                             static_cast<uint8_t>(si.buf.size() & 0xFF)};
+  std::fwrite(si_hdr, 1, 4, f);
+  std::fwrite(si.buf.data(), 1, si.buf.size(), f);
+
+  std::vector<int64_t> res, best_res;
+  uint64_t frame_no = 0;
+  for (int64_t start = 0; start < n || (n == 0 && frame_no == 0);
+       start += kBlock) {
+    const int bs = static_cast<int>(std::min<int64_t>(kBlock, n - start));
+    if (bs <= 0) break;
+    const int16_t* sig = pcm + start;
+
+    // Frame header (fixed-blocksize stream; blocksize code 7 =
+    // 16-bit value - 1 trailing; rate from STREAMINFO; bps code 4).
+    std::vector<uint8_t> hdr;
+    {
+      BitWriter hw;
+      hw.write(0x3FFE, 14);
+      hw.write(0, 1);
+      hw.write(0, 1);
+      hw.write(7, 4);
+      hw.write(0, 4);
+      hw.write(0, 4);  // channels - 1
+      hw.write(4, 3);  // 16 bps
+      hw.write(0, 1);
+      hdr = hw.buf;
+    }
+    utf8_code(frame_no, hdr);
+    hdr.push_back(static_cast<uint8_t>((bs - 1) >> 8));
+    hdr.push_back(static_cast<uint8_t>((bs - 1) & 0xFF));
+    hdr.push_back(crc8(hdr.data(), hdr.size()));
+
+    BitWriter fw;
+    fw.buf = hdr;
+
+    bool constant = true;
+    for (int i = 1; i < bs; ++i)
+      if (sig[i] != sig[0]) {
+        constant = false;
+        break;
+      }
+
+    if (constant) {
+      fw.write(0, 1);  // pad
+      fw.write(0, 6);  // constant subframe
+      fw.write(0, 1);  // no wasted bits
+      fw.write(static_cast<uint64_t>(static_cast<uint16_t>(sig[0])), 16);
+    } else {
+      // Pick the fixed order (0..4, capped by bs-1) with the cheapest
+      // one-partition rice coding.
+      int best_order = 0, best_param = 0;
+      uint64_t best_cost = ~0ULL;
+      const int max_order = std::min(4, bs - 1);
+      for (int order = 0; order <= max_order; ++order) {
+        fixed_residual(sig, bs, order, res);
+        uint64_t cost;
+        const int p = best_rice_param(res, order, bs, &cost);
+        cost += static_cast<uint64_t>(order) * 16;  // warmup bits
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_order = order;
+          best_param = p;
+          best_res = res;
+        }
+      }
+      fw.write(0, 1);                 // pad
+      fw.write(8 + best_order, 6);    // fixed subframe, order
+      fw.write(0, 1);                 // no wasted bits
+      for (int i = 0; i < best_order; ++i)
+        fw.write(static_cast<uint64_t>(static_cast<uint16_t>(sig[i])), 16);
+      fw.write(0, 2);                 // residual method 0 (4-bit rice)
+      fw.write(0, 4);                 // partition order 0
+      fw.write(static_cast<uint64_t>(best_param), 4);
+      for (int i = best_order; i < bs; ++i) {
+        const int64_t r = best_res[i];
+        const uint64_t u =
+            r >= 0 ? (static_cast<uint64_t>(r) << 1)
+                   : ((static_cast<uint64_t>(-r) << 1) - 1);
+        fw.write_unary(static_cast<uint32_t>(u >> best_param));
+        fw.write(u, best_param);
+      }
+    }
+    fw.align();
+    const uint16_t c16 = crc16(fw.buf.data(), fw.buf.size());
+    fw.buf.push_back(static_cast<uint8_t>(c16 >> 8));
+    fw.buf.push_back(static_cast<uint8_t>(c16 & 0xFF));
+    std::fwrite(fw.buf.data(), 1, fw.buf.size(), f);
+    ++frame_no;
+  }
+  std::fclose(f);
+  return 0;
+}
+
+}  // extern "C"
