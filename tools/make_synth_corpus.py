@@ -58,9 +58,14 @@ UTTS_PER_CHAPTER = 25
 CHAPTERS_PER_SPEAKER = 4
 
 # LibriSpeech-like duration distributions (mean/std/min/max seconds).
+# The real corpus is segmented to target ~10-17 s: train-clean-100 has
+# essentially no mass above 17 s (docs/LIBRISPEECH.md's bucket bounds
+# [4, 8, 12, 17] cover 99.9%), so the draw clips there — a corpus with a
+# fat >17 s tail would make the recipe's buckets drop utterances the
+# real corpus doesn't have.
 _LS_DUR = {
-    "train-clean-100": (12.7, 4.0, 2.0, 25.0),
-    "dev-clean": (7.4, 3.5, 1.5, 20.0),
+    "train-clean-100": (12.7, 4.0, 2.0, 16.6),
+    "dev-clean": (7.4, 3.5, 1.5, 16.6),
 }
 
 
