@@ -96,29 +96,12 @@ def main(argv=None):
                             seed=0, shuffle=False)
     loader = DataLoader(dev_utts, sampler, tokenizer, config.data.sample_rate)
 
-    # Interactive-serving default [VERDICT.md round-2 item 5]: at B=1,
-    # joint-beam latency is sequential-step bound, so default the two
-    # step-cost levers on — partial CTC scoring (2*beam_size candidates:
-    # narrows the per-step prefix rescan from V to ~2K columns) and
-    # end-detect early stopping (stops the while_loop once every ending
-    # is end_detect_d below the best instead of running to maxlen; the
-    # default margin was measured output-identical on the 192-utt dev,
-    # BASELINE.md). Explicit --set values always win; batched decode is
-    # unchanged.
-    if (config.data.batch_size == 1
-            and config.decode.method in ("beam", "ctc_beam")):
-        overridden = {k.split("=", 1)[0] for k in (args.set or ())}
-        if (config.decode.ctc_score_candidates == 0
-                and "decode.ctc_score_candidates" not in overridden):
-            config.decode.ctc_score_candidates = 2 * config.decode.beam_size
-            print(f"decode: B=1 serving default -> "
-                  f"ctc_score_candidates={config.decode.ctc_score_candidates}",
-                  file=sys.stderr)
-        if (not config.decode.end_detect
-                and "decode.end_detect" not in overridden):
-            config.decode.end_detect = True
-            print("decode: B=1 serving default -> end_detect=true",
-                  file=sys.stderr)
+    # Interactive-serving defaults at B=1 [VERDICT.md round-2 item 5]:
+    # partial CTC scoring + end-detect (decoding/serving.py; explicit
+    # --set values win; batched decode is unchanged).
+    from gluon_e2e_asr_tpu.decoding.serving import apply_b1_serving_defaults
+
+    apply_b1_serving_defaults(config, args.set)
 
     model = build_model(config, tokenizer.vocab_size, tokenizer.sos_id,
                         tokenizer.eos_id)

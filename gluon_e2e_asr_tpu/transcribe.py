@@ -122,6 +122,10 @@ def main(argv=None):
     apply_overrides(config, args.set)
     if args.method:
         config.decode.method = args.method
+    # Interactive-serving defaults at B=1 [VERDICT.md round-2 item 5].
+    from gluon_e2e_asr_tpu.decoding.serving import apply_b1_serving_defaults
+
+    apply_b1_serving_defaults(config, args.set)
 
     from gluon_e2e_asr_tpu.utils.platform import warm_device_transfer
 
