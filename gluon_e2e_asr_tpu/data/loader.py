@@ -19,6 +19,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -263,6 +264,12 @@ class EpochPrefetcher:
         self._depth = depth
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # Occupancy accounting: time the CONSUMER spent blocked waiting
+        # for a batch. occupancy = 1 - consumer_wait_s / epoch_time is
+        # how well host batch assembly hides behind the device step
+        # (the rehearsal metric, VERDICT.md round-2 item 3).
+        self.consumer_wait_s = 0.0
+        self.batches = 0
         if depth > 0:
             self._q: queue.Queue = queue.Queue(maxsize=depth)
             self._thread = threading.Thread(
@@ -293,15 +300,21 @@ class EpochPrefetcher:
     def __iter__(self) -> Iterator[Tuple[int, Batch]]:
         if self._thread is None:  # synchronous fallback
             for idx, bucket, idxs in self._jobs:
-                yield idx, self._loader.make_batch(
-                    bucket, idxs, epoch=self._epoch)
+                t0 = time.perf_counter()
+                b = self._loader.make_batch(bucket, idxs, epoch=self._epoch)
+                self.consumer_wait_s += time.perf_counter() - t0
+                self.batches += 1
+                yield idx, b
             return
         while True:
+            t0 = time.perf_counter()
             item = self._q.get()
+            self.consumer_wait_s += time.perf_counter() - t0
             if item is self._DONE:
                 return
             if isinstance(item, BaseException):
                 raise item
+            self.batches += 1
             yield item
 
     def close(self) -> None:

@@ -393,6 +393,7 @@ class Trainer:
                         self._checkpoint(epoch, None, batches_done=batch_idx + 1)
             finally:
                 prefetch.close()
+            train_time = time.perf_counter() - t_epoch
             if self._micro > 0 and stopped_at < 0:
                 # Epoch length not divisible by accum_grad_steps: apply
                 # the remainder group (its samples still count once, with
@@ -414,6 +415,11 @@ class Trainer:
                 "epoch": epoch,
                 "step": step,
                 "epoch_time_s": round(epoch_time, 2),
+                # Host/device overlap: fraction of the TRAIN portion the
+                # consumer was NOT blocked waiting on batch assembly.
+                "prefetch_occupancy": round(
+                    1.0 - prefetch.consumer_wait_s
+                    / max(train_time, 1e-9), 4),
                 "utt_per_sec_per_chip": round(
                     utts_done / max(epoch_time, 1e-9) / self.n_chips, 2
                 ),
