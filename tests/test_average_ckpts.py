@@ -83,3 +83,23 @@ def test_average_restores_as_param_mean(tmp_path):
 def test_average_requires_two(tmp_path):
     with pytest.raises(ValueError):
         average_checkpoints(["only_one.msgpack"], str(tmp_path / "o.msgpack"))
+
+
+def test_ordered_best_ckpts_selects_by_sidecar_wer(tmp_path):
+    import json
+    import os
+
+    from average_ckpts import ordered_best_ckpts
+
+    d = str(tmp_path / "bk")
+    os.makedirs(d)
+    for step, w in [(10, 0.5), (20, 0.2), (30, None), (40, 0.3), (50, 0.25)]:
+        open(f"{d}/ckpt_{step}.msgpack", "wb").write(b"x")
+        meta = {"step": step}
+        if w is not None:
+            meta["dev_wer"] = w
+        json.dump(meta, open(f"{d}/ckpt_{step}.msgpack.json", "w"))
+    got = [os.path.basename(p) for p in ordered_best_ckpts(d, 3)]
+    # Three lowest WERs (20/50/40), returned oldest-first; the metaless
+    # mid-epoch ckpt_30 is excluded.
+    assert got == ["ckpt_20.msgpack", "ckpt_40.msgpack", "ckpt_50.msgpack"]

@@ -71,6 +71,29 @@ def ordered_last_ckpts(ckpt_dir: str, n: int):
     return [p for _, p in found[-n:]]
 
 
+def ordered_best_ckpts(ckpt_dir: str, n: int):
+    """The ``n`` lowest-dev-WER checkpoints (sidecar ``dev_wer``),
+    oldest first — the pool ``train.keep_policy=best`` retains
+    [VERDICT.md round-2 item 7]. Checkpoints without a dev_wer sidecar
+    (mid-epoch saves) are excluded."""
+    found = []
+    for fn in os.listdir(ckpt_dir):
+        m = _CKPT_RE.match(fn)
+        if not m:
+            continue
+        path = os.path.join(ckpt_dir, fn)
+        try:
+            with open(path + ".json") as f:
+                w = json.load(f).get("dev_wer")
+        except OSError:
+            w = None
+        if w is not None:
+            found.append((float(w), int(m.group(1)), path))
+    found.sort()
+    best = found[:n]
+    return [p for _, _, p in sorted(best, key=lambda t: t[1])]
+
+
 def average_checkpoints(paths, out_path: str) -> dict:
     """Average ``paths`` (oldest..newest) into ``out_path``. Returns the
     sidecar meta written next to it."""
@@ -109,12 +132,22 @@ def main(argv=None):
     ap.add_argument("--last", type=int, default=0,
                     help="average the N newest step-numbered ckpts in "
                          "--ckpt-dir")
+    ap.add_argument("--best", type=int, default=0,
+                    help="average the N lowest-dev-WER ckpts in --ckpt-dir "
+                         "(sidecar dev_wer; pairs with "
+                         "train.keep_policy=best)")
     args = ap.parse_args(argv)
     paths = list(args.ckpts)
+    if args.last > 0 and args.best > 0:
+        ap.error("--last and --best are mutually exclusive")
     if args.last > 0:
         if not args.ckpt_dir:
             ap.error("--last requires --ckpt-dir")
         paths = ordered_last_ckpts(args.ckpt_dir, args.last)
+    if args.best > 0:
+        if not args.ckpt_dir:
+            ap.error("--best requires --ckpt-dir")
+        paths = ordered_best_ckpts(args.ckpt_dir, args.best)
     meta = average_checkpoints(paths, args.out)
     print(json.dumps({
         "event": "average_ckpts",
