@@ -27,7 +27,11 @@ import argparse
 import copy
 import itertools
 import json
+import os
+import sys
 import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gluon_e2e_asr_tpu.utils.platform import configure_from_env
 
