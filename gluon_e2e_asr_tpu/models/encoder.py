@@ -128,9 +128,28 @@ class BiLSTMEncoder(nn.Module):
             )
             # Both directions share one sequential loop (see bilstm_scan /
             # bilstm_fused — identical numerics, parity-tested).
-            if cfg.lstm_impl == "pallas":
-                from gluon_e2e_asr_tpu.ops.pallas_lstm import bilstm_fused
+            use_pallas = cfg.lstm_impl == "pallas"
+            if use_pallas:
+                from gluon_e2e_asr_tpu.ops.pallas_lstm import (
+                    bilstm_fused,
+                    fits_vmem,
+                )
 
+                if not fits_vmem(x.shape[0], H, D):
+                    # The fused kernel cannot run this shape (its backward
+                    # would not fit VMEM even at the minimum time chunk) —
+                    # e.g. very large dynamic-bucket batches at wide
+                    # layers. Fall back to the scan path, loudly.
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "pallas LSTM layer %d: shape B=%d D=%d H=%d "
+                        "exceeds the kernel's VMEM budget at the minimum "
+                        "time chunk; falling back to lax.scan for this "
+                        "layer", layer, x.shape[0], D, H,
+                    )
+                    use_pallas = False
+            if use_pallas:
                 # custom_vjp functions take positional args only.
                 x = bilstm_fused(x, lens, w_in, b_in, w_hf, w_hb, cdtype,
                                  int(cfg.lstm_time_chunk))  # [B, T, 2H]

@@ -640,6 +640,28 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
         dwhb_ref[...] = dwhb_acc[...]
 
 
+def fits_vmem(B: int, H: int, D: int) -> bool:
+    """True iff the fused kernel's backward fits the VMEM budget at the
+    Mosaic tiling floor (time chunks are multiples of 8).
+
+    Shapes where even tc=8 exceeds the budget cannot run this kernel at
+    all (found by the LibriSpeech-scale rehearsal: the 4 s dynamic
+    bucket at batch 148 x D=1280 OOM'd VMEM at 147.7M/128M); callers
+    must fall back to the lax.scan path — BiLSTMEncoder does so
+    automatically with a warning.
+
+    Unlike _v2_auto_chunk's 0.85-headroom budget (which only decides how
+    much LARGER than 8 a chunk may grow), this check uses the raw limit:
+    the word model is accurate at tc=8 — it predicts 149.2M for the
+    B=148 OOM case (actual 147.7M) and 114.1M for the known-good
+    flagship B=96/D=1280 point.
+    """
+    limit_words = int(_V2_VMEM_LIMIT * 0.98) // 4
+    const_words = 3 * (8 * D * H + 8 * H * H + 8 * H) + 4 * B * H
+    per_t_words = B * (8 * D + 34 * H + 4)
+    return const_words + 8 * per_t_words <= limit_words
+
+
 def _v2_auto_chunk(tc: int, B: int, H: int, D: int) -> int:
     """Largest multiple-of-8 chunk <= tc whose *backward* kernel (the
     bigger of the two) fits the VMEM budget.
