@@ -126,11 +126,21 @@ def create_template_state(
     init_rng, state_rng = jax.random.split(root)
 
     def init_fn():
+        # Global-CMVN configs need stats to trace the frontend; the
+        # template only needs SHAPES, so zeros/ones placeholders are
+        # exact (found by the rehearsal: decode at frontend.cmvn=global
+        # asserted here before the checkpoint's real stats were read).
+        stats = None
+        if config.frontend.cmvn == "global":
+            D = config.frontend.n_mels
+            stats = (jnp.zeros((D,), jnp.float32),
+                     jnp.ones((D,), jnp.float32))
         feats, feat_len = frontend_apply(
             config.frontend,
             jnp.zeros_like(jnp.asarray(sample_batch["audio"])),
             jnp.asarray(sample_batch["audio_len"]),
             train=False,
+            cmvn_stats=stats,
         )
         tokens_in = None
         if model.use_decoder:

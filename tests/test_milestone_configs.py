@@ -65,3 +65,31 @@ def test_trainer_beam_eval_path(tmp_path):
     assert t.greedy is None and t._beam is not None
     final = t.train()
     assert "dev_wer" in final
+
+
+def test_template_state_with_global_cmvn():
+    """create_template_state must trace global-CMVN frontends without
+    real stats (placeholder shapes) — the decode CLI builds the restore
+    template BEFORE reading the checkpoint's stats [rehearsal-found]."""
+    import numpy as np
+
+    from gluon_e2e_asr_tpu.config import Config, FrontendConfig
+    from gluon_e2e_asr_tpu.data.tokenizer import CharTokenizer
+    from gluon_e2e_asr_tpu.models.asr import build_model
+    from gluon_e2e_asr_tpu.training.train_step import (
+        create_template_state,
+        make_optimizer,
+    )
+
+    cfg = Config(frontend=FrontendConfig(cmvn="global",
+                                         cmvn_stats_path="unused.npz"))
+    tok = CharTokenizer()
+    model = build_model(cfg, tok.vocab_size, tok.sos_id, tok.eos_id)
+    batch = {
+        "audio": np.zeros((2, 16000), np.float32),
+        "audio_len": np.array([16000] * 2, np.int32),
+        "labels": np.zeros((2, 8), np.int32),
+        "label_len": np.array([8] * 2, np.int32),
+    }
+    st = create_template_state(cfg, model, make_optimizer(cfg), batch)
+    assert st.params is not None
