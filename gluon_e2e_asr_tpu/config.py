@@ -43,6 +43,15 @@ class DataConfig:
     # [VERDICT.md round-2 item 1]. Both modes bound the transcript's
     # CHARACTER length by synth_min_tokens/synth_max_tokens.
     synth_text: str = "random"
+    # Train/dev text disjointness for the english fixture: "none" draws
+    # both splits from the full sentence pool (round-3 behavior — dev
+    # windows could appear verbatim in train text, inflating quality
+    # numbers by an unquantified amount [VERDICT.md round-3 weak #1]);
+    # "sentence" hash-partitions the pool into disjoint train/dev
+    # sentence sets (manifest.english_pool_split) and additionally
+    # rejects dev windows occurring anywhere in the train-side text —
+    # measured-zero leakage. Normative quality configs use "sentence".
+    synth_split: str = "none"
     # Additive white-noise std in the synthetic waveforms (tone amplitude
     # ~0.6). The 0.003 default is near-clean (~46 dB SNR); quality
     # experiments raise it so the base WER has headroom for LM fusion /

@@ -98,6 +98,7 @@ def synth_waveform(
 
 
 _ENGLISH_POOL: Optional[List[str]] = None
+_ENGLISH_SPLIT: dict = {}
 
 
 def english_pool() -> List[str]:
@@ -120,14 +121,68 @@ def english_pool() -> List[str]:
     return _ENGLISH_POOL
 
 
+def english_pool_split(split: str, dev_pct: int = 20) -> List[str]:
+    """Deterministic sentence-disjoint partition of the English pool.
+
+    ``split`` is ``"train"`` or ``"dev"``. Assignment is by md5 of the
+    sentence text (stable across runs/machines), then closed under
+    substring containment: 17 pool sentences are substrings of another
+    pool sentence, and a containment pair straddling the split would let
+    dev word windows appear verbatim in train text — the leakage
+    [VERDICT.md round-3 weak #1] this partition exists to remove. Any
+    containment-connected group with at least one dev-hashed member goes
+    entirely to dev (the safe direction: it can only shrink train).
+    """
+    key = dev_pct
+    if key not in _ENGLISH_SPLIT:
+        import hashlib
+
+        pool = english_pool()
+        is_dev = {
+            s: int(hashlib.md5(s.encode()).hexdigest(), 16) % 100 < dev_pct
+            for s in pool
+        }
+        # Containment closure (iterate to fixpoint; the containment graph
+        # is tiny — ~17 edges in the checked-in pool).
+        changed = True
+        while changed:
+            changed = False
+            for a in pool:
+                if is_dev[a]:
+                    continue
+                for b in pool:
+                    if is_dev[b] and (b in a or a in b):
+                        is_dev[a] = True
+                        changed = True
+                        break
+        _ENGLISH_SPLIT[key] = {
+            "train": [s for s in pool if not is_dev[s]],
+            "dev": [s for s in pool if is_dev[s]],
+        }
+    if split not in ("train", "dev"):
+        raise ValueError(f"unknown pool split: {split!r}")
+    return _ENGLISH_SPLIT[key][split]
+
+
 def _sample_english_fragment(
-    rng: np.random.RandomState, min_chars: int, max_chars: int
+    rng: np.random.RandomState,
+    min_chars: int,
+    max_chars: int,
+    pool: Optional[List[str]] = None,
+    forbid_text: Optional[str] = None,
 ) -> str:
     """Draw a contiguous word window from a pool sentence whose total
     character length (spaces included) lands in [min_chars, max_chars].
     Contiguity preserves the within-utterance n-gram structure a
-    language model can learn."""
-    pool = english_pool()
+    language model can learn.
+
+    ``pool`` restricts the draw to a sentence subset (see
+    ``english_pool_split``); ``forbid_text`` rejects any window that
+    occurs verbatim inside the given text — used for dev draws so no dev
+    window is a substring of the train-side sentences (measured-zero
+    leakage, not just sentence disjointness)."""
+    if pool is None:
+        pool = english_pool()
     for _ in range(200):
         words = pool[rng.randint(len(pool))].split()
         start = int(rng.randint(len(words)))
@@ -139,7 +194,9 @@ def _sample_english_fragment(
             picked.append(w)
             length += 1 + len(w)
         if length >= min_chars:
-            return " ".join(picked)
+            frag = " ".join(picked)
+            if forbid_text is None or frag not in forbid_text:
+                return frag
     # Degenerate bounds (e.g. max_chars smaller than any word): fall back
     # to a truncated common word so the generator never fails.
     return "the"[:max(max_chars, 1)]
@@ -156,6 +213,7 @@ def build_synthetic_manifest(
     text_mode: str = "random",
     noise: float = 0.003,
     jitter: float = 0.01,
+    split: str = "all",
 ) -> List[Utterance]:
     """Deterministic synthetic utterance list (text + seed; audio on demand).
 
@@ -165,16 +223,33 @@ def build_synthetic_manifest(
     pool, giving transcripts real orthographic/word statistics. In both
     modes min_tokens/max_tokens bound the *character* length, which is
     what the audio duration and bucket placement depend on.
+
+    ``split`` (english mode only): "all" draws from the whole pool (the
+    round-3 behavior — train and dev share sentences, so dev windows can
+    appear verbatim in train); "train"/"dev" draw from the
+    ``english_pool_split`` sentence-disjoint partition, and dev draws
+    additionally reject any window occurring as a substring of the
+    train-side text, giving a measured-zero train→dev text leakage
+    [VERDICT.md round-4 item 1].
     """
     if text_mode not in ("random", "english"):
         raise ValueError(f"unknown synth text_mode: {text_mode!r}")
+    if split not in ("all", "train", "dev"):
+        raise ValueError(f"unknown manifest split: {split!r}")
     rng = np.random.RandomState(seed)
     # Use only "letter" characters for text (skip leading space/quote chars).
     letters = [c for c in alphabet if c.isalpha()]
+    pool: Optional[List[str]] = None
+    forbid: Optional[str] = None
+    if text_mode == "english" and split != "all":
+        pool = english_pool_split(split)
+        if split == "dev":
+            forbid = "\n".join(english_pool_split("train"))
     utts = []
     for i in range(num_utts):
         if text_mode == "english":
-            text = _sample_english_fragment(rng, min_tokens, max_tokens)
+            text = _sample_english_fragment(
+                rng, min_tokens, max_tokens, pool=pool, forbid_text=forbid)
         else:
             n = int(rng.randint(min_tokens, max_tokens + 1))
             chars = [letters[rng.randint(len(letters))] for _ in range(n)]

@@ -33,6 +33,12 @@ def apply_b1_serving_defaults(
     bs = config.data.batch_size if batch_size is None else int(batch_size)
     if bs != 1 or config.decode.method not in ("beam", "ctc_beam"):
         return
+    # dynamic_batch scales per-bucket sizes UP from batch_size (shorter
+    # buckets pack more utterances), so batch_size==1 does not imply the
+    # effective batch is 1 — don't apply B=1 policy to multi-utterance
+    # batches [ADVICE.md round-3].
+    if batch_size is None and config.data.dynamic_batch:
+        return
     overridden = {k.split("=", 1)[0] for k in (cli_overrides or ())}
     if (config.decode.ctc_score_candidates == 0
             and "decode.ctc_score_candidates" not in overridden):

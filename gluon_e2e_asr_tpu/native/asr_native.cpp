@@ -857,7 +857,9 @@ inline int best_rice_param(const std::vector<int64_t>& res, int order,
 extern "C" {
 
 // Encode mono 16-bit PCM to a subset FLAC file. Returns 0 on success,
-// -1 file open failure, -2 bad args.
+// -1 file open failure, -2 bad args, -3 short write / close failure
+// (disk full etc. — a silent rc=0 here would surface as corrupt FLAC
+// only at train time [ADVICE.md round-3]).
 int32_t encode_flac_i16(const char* path, const int16_t* pcm, int64_t n,
                         int32_t sample_rate) {
   using namespace flacenc;
@@ -877,12 +879,15 @@ int32_t encode_flac_i16(const char* path, const int16_t* pcm, int64_t n,
   si.write(15, 5);  // bps - 1
   si.write(static_cast<uint64_t>(n), 36);
   for (int i = 0; i < 16; ++i) si.buf.push_back(0);  // MD5 unset
-  std::fputs("fLaC", f);
+  if (std::fputs("fLaC", f) < 0) { std::fclose(f); return -3; }
   const uint8_t si_hdr[4] = {0x80 | 0, 0,
                              static_cast<uint8_t>(si.buf.size() >> 8),
                              static_cast<uint8_t>(si.buf.size() & 0xFF)};
-  std::fwrite(si_hdr, 1, 4, f);
-  std::fwrite(si.buf.data(), 1, si.buf.size(), f);
+  if (std::fwrite(si_hdr, 1, 4, f) != 4 ||
+      std::fwrite(si.buf.data(), 1, si.buf.size(), f) != si.buf.size()) {
+    std::fclose(f);
+    return -3;
+  }
 
   std::vector<int64_t> res, best_res;
   uint64_t frame_no = 0;
@@ -966,11 +971,13 @@ int32_t encode_flac_i16(const char* path, const int16_t* pcm, int64_t n,
     const uint16_t c16 = crc16(fw.buf.data(), fw.buf.size());
     fw.buf.push_back(static_cast<uint8_t>(c16 >> 8));
     fw.buf.push_back(static_cast<uint8_t>(c16 & 0xFF));
-    std::fwrite(fw.buf.data(), 1, fw.buf.size(), f);
+    if (std::fwrite(fw.buf.data(), 1, fw.buf.size(), f) != fw.buf.size()) {
+      std::fclose(f);
+      return -3;
+    }
     ++frame_no;
   }
-  std::fclose(f);
-  return 0;
+  return std::fclose(f) == 0 ? 0 : -3;
 }
 
 }  // extern "C"

@@ -50,15 +50,21 @@ from gluon_e2e_asr_tpu.utils.logging import JsonlLogger
 def build_datasets(config: Config) -> Tuple[List[Utterance], List[Utterance]]:
     dc = config.data
     if dc.dataset == "synthetic":
+        # (--set parses the literal "none" to None; both mean no split.)
+        if dc.synth_split not in ("none", "sentence", None):
+            raise ValueError(f"unknown data.synth_split {dc.synth_split!r}")
+        disjoint = dc.synth_split == "sentence"
         train = build_synthetic_manifest(
             dc.synth_num_train, dc.synth_seed, dc.synth_min_tokens,
             dc.synth_max_tokens, prefix="train", text_mode=dc.synth_text,
             noise=dc.synth_noise, jitter=dc.synth_jitter,
+            split="train" if disjoint else "all",
         )
         dev = build_synthetic_manifest(
             dc.synth_num_dev, dc.synth_seed + 1, dc.synth_min_tokens,
             dc.synth_max_tokens, prefix="dev", text_mode=dc.synth_text,
             noise=dc.synth_noise, jitter=dc.synth_jitter,
+            split="dev" if disjoint else "all",
         )
         return train, dev
     if dc.dataset == "librispeech":

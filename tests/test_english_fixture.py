@@ -11,6 +11,7 @@ import numpy as np
 from gluon_e2e_asr_tpu.data.manifest import (
     build_synthetic_manifest,
     english_pool,
+    english_pool_split,
     _sample_english_fragment,
 )
 from gluon_e2e_asr_tpu.data.tokenizer import DEFAULT_ALPHABET
@@ -68,3 +69,53 @@ def test_degenerate_bounds_never_fail():
     rng = np.random.RandomState(0)
     frag = _sample_english_fragment(rng, 1, 2)
     assert 1 <= len(frag) <= 2
+
+
+# --- round-4 sentence-disjoint split [VERDICT.md round-3 weak #1] ---
+
+
+def test_pool_split_is_a_disjoint_partition():
+    tr, dv = english_pool_split("train"), english_pool_split("dev")
+    pool = english_pool()
+    assert not set(tr) & set(dv)
+    assert sorted(tr + dv) == sorted(pool)
+    # Roughly the intended 80/20 with headroom for containment pulls.
+    assert 0.15 < len(dv) / len(pool) < 0.30
+    # Containment closure: no cross-side substring relation survives.
+    for a in dv:
+        for b in tr:
+            assert a not in b and b not in a
+
+
+def test_pool_split_deterministic():
+    assert english_pool_split("train") == english_pool_split("train")
+    assert english_pool_split("dev") == english_pool_split("dev")
+
+
+def test_split_manifests_have_zero_window_leakage():
+    # The english_m5 shapes: dev windows must never occur (verbatim OR
+    # as a substring) in the train-side text — the round-4 fixture rule.
+    train = build_synthetic_manifest(
+        128, 1234, 8, 26, text_mode="english", split="train")
+    dev = build_synthetic_manifest(
+        64, 1235, 8, 26, text_mode="english", split="dev")
+    train_pool_blob = "\n".join(english_pool_split("train"))
+    train_blob = "\n".join(u.text for u in train)
+    for u in dev:
+        assert u.text not in train_pool_blob, u.text
+        assert u.text not in train_blob, u.text
+    # Train windows still come from the train side; dev from the dev side.
+    dev_blob = "\n".join(english_pool_split("dev"))
+    for u in train:
+        assert u.text in train_pool_blob
+    for u in dev:
+        assert u.text in dev_blob
+
+
+def test_split_all_unchanged():
+    # split="all" must remain bit-identical to the round-3 fixture so
+    # the superseded numbers stay reproducible.
+    a = build_synthetic_manifest(32, 7, 8, 26, text_mode="english")
+    b = build_synthetic_manifest(32, 7, 8, 26, text_mode="english",
+                                 split="all")
+    assert [u.text for u in a] == [u.text for u in b]

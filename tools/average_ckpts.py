@@ -82,13 +82,16 @@ def ordered_best_ckpts(ckpt_dir: str, n: int):
         if not m:
             continue
         path = os.path.join(ckpt_dir, fn)
+        # Tolerate corrupt/partial sidecars (bad JSON, non-numeric
+        # dev_wer) the same way training/checkpoint.py::_prune does —
+        # skip the checkpoint, don't crash the tool [ADVICE.md round-3].
         try:
             with open(path + ".json") as f:
-                w = json.load(f).get("dev_wer")
-        except OSError:
+                w = float(json.load(f).get("dev_wer"))
+        except (OSError, ValueError, TypeError, json.JSONDecodeError):
             w = None
         if w is not None:
-            found.append((float(w), int(m.group(1)), path))
+            found.append((w, int(m.group(1)), path))
     found.sort()
     best = found[:n]
     return [p for _, _, p in sorted(best, key=lambda t: t[1])]

@@ -42,9 +42,22 @@ def main(argv=None) -> None:
     _, dev_utts = build_datasets(config)
     dev_texts = [u.text for u in dev_utts]
 
-    pool = english_pool()
+    if config.data.synth_split == "sentence":
+        # Round-4 disjoint fixture: the train-side pool is leakage-free
+        # by construction (dev windows come from dev-side sentences and
+        # are rejected if present in train-side text). The window filter
+        # below still runs as a belt-and-braces assertion — it must drop
+        # nothing.
+        from gluon_e2e_asr_tpu.data.manifest import english_pool_split
+        pool = english_pool_split("train")
+    else:
+        pool = english_pool()
     kept = [ln for ln in pool
             if not any(t in ln for t in dev_texts)]
+    if config.data.synth_split == "sentence" and len(kept) != len(pool):
+        raise AssertionError(
+            f"sentence split promised zero dev-window leakage but the "
+            f"filter dropped {len(pool) - len(kept)} train-side sentences")
     with open(args.out, "w") as f:
         f.write("\n".join(kept) + "\n")
     print(f"LM corpus: kept {len(kept)}/{len(pool)} pool sentences "

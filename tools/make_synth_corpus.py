@@ -73,7 +73,8 @@ def _chars_for_duration(dur: float) -> int:
     return max(1, int(round((dur - _GAP_SEC) / (_SEG_SEC + _GAP_SEC))))
 
 
-def _english_text_of_len(rng: np.random.RandomState, n_chars: int) -> str:
+def _english_text_of_len(rng: np.random.RandomState, n_chars: int,
+                         pool=None, forbid=None) -> str:
     """English text of ~n_chars, concatenating pool windows if needed
     (single pool sentences top out around 180 chars)."""
     parts: List[str] = []
@@ -81,7 +82,8 @@ def _english_text_of_len(rng: np.random.RandomState, n_chars: int) -> str:
     while left > 0:
         hi = min(left, 160)
         lo = max(1, hi - 12) if left > 12 else 1
-        frag = _sample_english_fragment(rng, lo, hi)
+        frag = _sample_english_fragment(rng, lo, hi, pool=pool,
+                                        forbid_text=forbid)
         parts.append(frag)
         left -= len(frag) + 1  # +1 for the joining space
         if left < 4:
@@ -90,7 +92,8 @@ def _english_text_of_len(rng: np.random.RandomState, n_chars: int) -> str:
 
 
 def _ls_duration_utts(split: str, num_utts: int, seed: int, text_mode: str,
-                      noise: float, jitter: float):
+                      noise: float, jitter: float,
+                      pool_split: str = "none"):
     """Utterance list with LibriSpeech-like duration distribution."""
     from gluon_e2e_asr_tpu.data.manifest import Utterance
     from gluon_e2e_asr_tpu.data.tokenizer import DEFAULT_ALPHABET
@@ -98,12 +101,20 @@ def _ls_duration_utts(split: str, num_utts: int, seed: int, text_mode: str,
     mean, std, lo, hi = _LS_DUR[split]
     rng = np.random.RandomState(seed)
     letters = [c for c in DEFAULT_ALPHABET if c.isalpha()]
+    pool = forbid = None
+    if text_mode == "english" and pool_split == "sentence":
+        from gluon_e2e_asr_tpu.data.manifest import english_pool_split
+        side = "dev" if split.startswith("dev") else "train"
+        pool = english_pool_split(side)
+        if side == "dev":
+            forbid = "\n".join(english_pool_split("train"))
     utts = []
     for i in range(num_utts):
         dur = float(np.clip(rng.normal(mean, std), lo, hi))
         n_chars = _chars_for_duration(dur)
         if text_mode == "english":
-            text = _english_text_of_len(rng, n_chars)
+            text = _english_text_of_len(rng, n_chars, pool=pool,
+                                        forbid=forbid)
         else:
             chars = [letters[rng.randint(len(letters))]
                      for _ in range(n_chars)]
@@ -154,14 +165,18 @@ def render_split(
     durations: str = "fixed",
     noise: float = 0.003,
     jitter: float = 0.01,
+    pool_split: str = "none",
 ) -> int:
     if durations == "librispeech":
         utts = _ls_duration_utts(split, num_utts, seed, text_mode,
-                                 noise, jitter)
+                                 noise, jitter, pool_split=pool_split)
     else:
+        side = "all"
+        if pool_split == "sentence":
+            side = "dev" if split.startswith("dev") else "train"
         utts = build_synthetic_manifest(num_utts, seed, prefix=split,
                                         text_mode=text_mode, noise=noise,
-                                        jitter=jitter)
+                                        jitter=jitter, split=side)
     jobs: List[Tuple[str, str, int, str, int, float, float]] = []
     trans: dict = {}
     per_spk = UTTS_PER_CHAPTER * CHAPTERS_PER_SPEAKER
@@ -208,6 +223,12 @@ def main(argv=None) -> None:
                         "durations (train ~12.7 s, dev ~7.4 s means)")
     p.add_argument("--noise", type=float, default=0.003)
     p.add_argument("--jitter", type=float, default=0.01)
+    p.add_argument("--pool-split", choices=["none", "sentence"],
+                   default="none",
+                   help="'sentence' draws train/dev transcripts from the "
+                        "disjoint english_pool_split sides (dev windows "
+                        "additionally rejected if present in train-side "
+                        "text) — the round-4 leakage-proof fixture rule")
     args = p.parse_args(argv)
 
     total = 0
@@ -220,6 +241,7 @@ def main(argv=None) -> None:
             args.sample_rate, args.workers, spk_base=spk,
             text_mode=args.text_mode, durations=args.durations,
             noise=args.noise, jitter=args.jitter,
+            pool_split=args.pool_split,
         )
     hours = total / args.sample_rate / 3600.0
     print(f"wrote {args.num_train}+{args.num_dev} utts "
