@@ -143,6 +143,7 @@ def main(argv=None):
     # previous run would silently pollute the fidelity harness goldens.
     logger = JsonlLogger(out_path, also_stdout=False, mode="w")
     refs, hyps, latencies = [], [], []
+    beam_steps = []  # executed while_loop steps per batch (beam methods)
     oracle_hyps = []  # per-utt min-word-error hypothesis within the nbest
     by_id = {u.utt_id: u for u in dev_utts}
     warmed = set()
@@ -175,6 +176,8 @@ def main(argv=None):
             scores = [0.0] * len(texts)
         dt = time.perf_counter() - t0
         per_utt = dt / max(b.num_real, 1)
+        if is_beam and getattr(decoder, "last_steps", None) is not None:
+            beam_steps.append(int(decoder.last_steps))
         for row, utt_id in enumerate(b.utt_ids):
             ref = by_id[utt_id].text
             refs.append(ref)
@@ -211,6 +214,13 @@ def main(argv=None):
         "p50_latency_s": round(percentile(latencies, 50), 5),
         "output": out_path,
     }
+    if beam_steps:
+        # Device-side search cost, independent of host/tunnel wall time:
+        # executed while_loop steps (max over the batch) per batch call.
+        # This is what decode.end_detect actually saves [VERDICT.md
+        # round-3 weak #6 — makes the long-utterance value measurable].
+        result["beam_steps_total"] = int(sum(beam_steps))
+        result["beam_steps_max"] = int(max(beam_steps))
     # sclite-style S/D/I decomposition (sums to the wer above): the
     # reference family's detailed error report [SURVEY.md §2.1 #19].
     rep = error_report(refs, hyps, unit="word")

@@ -642,4 +642,10 @@ def make_beam_decoder(
         ]
 
     decode.nbest = decode_nbest
+    # Expose the jitted device program + its LM operand so measurement
+    # harnesses can chain dependent calls on-device (device-time p50
+    # without host/tunnel round-trips — tools/b1_latency_ab.py
+    # --device-time) [VERDICT.md round-3 missing #3].
+    decode.device_fn = device_fn
+    decode.lm_arg = lm_arg
     return decode

@@ -66,6 +66,13 @@ def main(argv=None) -> None:
     p.add_argument("--ckpt", required=True)
     p.add_argument("--utts", type=int, default=48)
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
+    p.add_argument("--device-time", action="store_true",
+                   help="additionally measure per-call DEVICE time by "
+                        "chaining dependent device calls (amortizes the "
+                        "tunnel round-trip across the chain) "
+                        "[VERDICT.md round-3 missing #3]")
+    p.add_argument("--chain", type=int, default=16,
+                   help="dependent calls per device-time chain")
     args = p.parse_args(argv)
 
     config = load_config(args.config)
@@ -153,6 +160,68 @@ def main(argv=None) -> None:
     out["serving_equals_exact_hyps"] = hyps["serving"] == hyps["exact"]
     out["exact_over_serving_p50"] = round(
         out["exact"]["p50_s"] / out["serving"]["p50_s"], 3)
+
+    if args.device_time:
+        # Per-call DEVICE time: chain N dependent invocations of the
+        # jitted device program (call i+1's audio carries a 0-weighted
+        # data dependency on call i's scores), fetch once at the end.
+        # The tunnel round-trip (~0.5 s on this box, BASELINE.md) and
+        # host dispatch amortize across the chain; the residual is chip
+        # time per call — the number a real (non-tunneled) serving host
+        # would see. Greedy chains via its ids output the same way.
+        import jax
+
+        K = max(2, int(args.chain))
+        chains = {}
+        for name in ("exact", "serving"):
+            dfn = variants[name].device_fn
+            lm_arg = variants[name].lm_arg
+
+            def chained(params, lm_ps, a, al, _dfn=dfn):
+                def body(carry, _):
+                    aud, dep = carry
+                    _, _, scores, _ = _dfn(params, lm_ps,
+                                           aud + dep, al)
+                    dep = jnp.zeros_like(aud) * scores[0, 0]
+                    return (aud, dep), scores[0, 0]
+                (_, _), s = jax.lax.scan(body, (a, jnp.zeros_like(a)),
+                                         None, length=K)
+                return s[-1]
+
+            chains[name] = (jax.jit(chained), lm_arg)
+
+        def greedy_chained(params, a, al):
+            def body(carry, _):
+                aud, dep = carry
+                ids, lens = greedy(params, aud + dep, al)
+                dep = jnp.zeros_like(aud) * lens[0].astype(aud.dtype)
+                return (aud, dep), lens[0]
+            (_, _), s = jax.lax.scan(body, (a, jnp.zeros_like(a)),
+                                     None, length=K)
+            return s[-1]
+
+        chains["greedy"] = (jax.jit(greedy_chained), None)
+
+        dev = {k: [] for k in chains}
+        warmed2 = set()
+        for b in batches:
+            a, al = jnp.asarray(b.audio), jnp.asarray(b.audio_len)
+            for name, (fn, lm_arg) in chains.items():
+                ops = (state.params, lm_arg, a, al) if lm_arg is not None \
+                    else (state.params, a, al)
+                key = (name, b.audio.shape[1])
+                if key not in warmed2:
+                    np.asarray(fn(*ops))
+                    warmed2.add(key)
+                t0 = time.perf_counter()
+                np.asarray(fn(*ops))
+                dev[name].append((time.perf_counter() - t0) / K)
+        out["device_time_chain"] = K
+        for name, xs in dev.items():
+            xs = sorted(xs)
+            out[name]["device_p50_s"] = round(xs[len(xs) // 2], 4)
+            out[name]["device_mean_s"] = round(sum(xs) / len(xs), 4)
+
     print(json.dumps(out))
 
 
