@@ -294,13 +294,21 @@ def compute_features(
 
 def frontend_apply(cfg: FrontendConfig, audio, audio_len, *, train=False, rng=None,
                    cmvn_stats=None):
-    """Implementation-selecting wrapper: cfg.impl in {"jnp", "pallas"}.
-    Both paths share the identical signature and numerics contract
-    [SURVEY.md §3.3 fallback note]."""
+    """Implementation-selecting wrapper: cfg.impl in {"jnp", "pallas",
+    "pallas_regrid"}. All paths share the identical signature and
+    numerics contract [SURVEY.md §3.3 fallback note]."""
     if cfg.impl == "pallas":
         from gluon_e2e_asr_tpu.frontend.pallas_frontend import compute_features_pallas
 
         feats, feat_len = compute_features_pallas(
+            cfg, audio, audio_len, train=train, rng=rng, cmvn_stats=cmvn_stats
+        )
+    elif cfg.impl == "pallas_regrid":
+        from gluon_e2e_asr_tpu.frontend.pallas_frontend import (
+            compute_features_pallas_regrid,
+        )
+
+        feats, feat_len = compute_features_pallas_regrid(
             cfg, audio, audio_len, train=train, rng=rng, cmvn_stats=cmvn_stats
         )
     else:

@@ -135,7 +135,7 @@ class BiLSTMEncoder(nn.Module):
                     fits_vmem,
                 )
 
-                if not fits_vmem(x.shape[0], H, D):
+                if not fits_vmem(x.shape[0], H, D, cdtype.itemsize):
                     # The fused kernel cannot run this shape (its backward
                     # would not fit VMEM even at the minimum time chunk) —
                     # e.g. very large dynamic-bucket batches at wide

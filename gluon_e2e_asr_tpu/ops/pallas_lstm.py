@@ -640,7 +640,73 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
         dwhb_ref[...] = dwhb_acc[...]
 
 
-def fits_vmem(B: int, H: int, D: int) -> bool:
+def _lane(v: int) -> int:
+    """VMEM lane padding: the last (minor) dim of every VMEM buffer is
+    stored padded to a multiple of 128 lanes."""
+    return ((v + 127) // 128) * 128
+
+
+def _v2_vmem_words(B: int, H: int, D: int, cd_bytes: int = 4,
+                   sd_bytes: int = 4):
+    """(const_words, per_t_words) of the *backward* kernel (the bigger
+    of the two pallas_calls), lane-padding and dtype aware.
+
+    Word counts (1 word = 4 bytes) from _v2_vjp_bwd's actual specs, with
+    every stream's minor dim padded to 128 lanes (pl(.) below).
+    Double-buffered windowed blocks count x2; scratch counts x1. The x
+    streams and weights are stored in compute_dtype (cd_bytes), the
+    ys/cs residual streams in the stream dtype (sd_bytes, f32 default);
+    dy/dx/valid/scratch are f32:
+      per-timestep: x in 2 views x2 buf: 4*pl(D)*r_cd; valid 2x2:
+                    4*pl(1); ys/cs 2 dirs x2 buf: 8*pl(H)*r_sd; dy 2x2:
+                    4*pl(H); dx out 2x2: 4*pl(D); xg/dg scratch 2 dirs:
+                    4*pl(4H); tanh(c)/h_prev/c_prev scratch: 6*pl(H)
+      constant: weights in (r_cd) + weight-grad outs + accumulators
+                  = (8DH + 8H^2)*(2 + r_cd) + 24H
+                + boundary rows + dh/dc scratch ~= 12*B*pl(H)
+
+    The lane-padding terms are NOT optional: the round-4 B=128 bench
+    compile-OOM'd at 131.76M where the unpadded model predicted 102.4M —
+    most of the gap is D=80->128, 1->128, and H=320->384 lane inflation.
+
+    cd_bytes discounts ONLY the VMEM-resident weights: the bf16 x
+    windows do NOT shrink in practice, because bf16 tiles pad the
+    sublane (time) dim to 16, and the kernel's minimum chunk is tc=8 —
+    measured: B=128/D=1280 bf16 used 133.1M where a stream-discounted
+    model said 120.4M. Treating streams as f32-equivalent is
+    conservative for tc>=16 (costs at most a smaller chunk or a scan
+    fallback, never a compile OOM).
+
+    Calibration points (all residuals absorbed by the fits_vmem /
+    auto-chunk margins): B=128/D=80/f32/tc=16 predicts 120.0M, actual
+    131.76M (-11.8M: the known residual floor — Mosaic-side fixed
+    overhead); B=128/D=1280/bf16/tc=8 predicts 130.4M, actual 133.1M;
+    B=148/D=1280/f32 forward-kernel OOM at 147.7M, backward model
+    152.4M; flagship B=96 layer shapes keep their round-3 chunk sizes
+    (layer0 tc=16, wide layers tc=8) and run in production.
+    """
+    plD, pl1, plH, pl4H = _lane(D), _lane(1), _lane(H), _lane(4 * H)
+    r_cd, r_sd = cd_bytes / 4.0, sd_bytes / 4.0
+    const_words = int((8 * D * H + 8 * H * H) * (2 + r_cd)) + 24 * H \
+        + 12 * B * plH
+    per_t_words = int(B * (8 * plD + 4 * pl1
+                           + 8 * plH * r_sd + 10 * plH + 4 * pl4H))
+    return const_words, per_t_words
+
+
+def _stream_bytes() -> int:
+    return jnp.dtype(
+        os.environ.get("GLUON_LSTM_STREAM_DTYPE", "float32")).itemsize
+
+
+# Worst observed model underprediction (words): B=128/D=80/f32/tc=16
+# predicted 120.0M, compile used 131.76M. Added to every admission
+# decision so a shape the model thinks is near the limit is rejected
+# rather than compile-OOM'd.
+_V2_RESIDUAL_WORDS = (12 * 1024 * 1024) // 4
+
+
+def fits_vmem(B: int, H: int, D: int, cd_bytes: int = 4) -> bool:
     """True iff the fused kernel's backward fits the VMEM budget at the
     Mosaic tiling floor (time chunks are multiples of 8).
 
@@ -651,37 +717,33 @@ def fits_vmem(B: int, H: int, D: int) -> bool:
     automatically with a warning.
 
     Unlike _v2_auto_chunk's 0.85-headroom budget (which only decides how
-    much LARGER than 8 a chunk may grow), this check admits shapes up to
-    0.95 of the hard limit: the word model's demonstrated error is ~1%
-    (predicts 149.2M for the B=148 OOM case, actual 147.7M; 114.1M for
-    the known-good flagship B=96/D=1280 point), so a 5% margin covers
-    underprediction across dtypes/shapes beyond the two calibration
-    points, where the earlier 2% margin did not [ADVICE.md round-3]. A
-    shape in the rejected 0.95-0.98 band just takes the lax.scan
-    fallback — correctness is unaffected.
+    much LARGER than 8 a chunk may grow), this check admits a shape iff
+    model + worst-observed-residual fits the HARD limit. Every known
+    point lands on the right side: flagship B=96/D=1280 f32 (115.3M
+    predicted + 12M = 127.1M, runs in production), B=128/D=80 f32
+    (67M + 12M, compiles), B=128/D=1280 bf16 (130.4M predicted, measured
+    133.1M OOM -> rejected), B=148/D=1280 f32 (rejected). A rejected
+    shape just takes the lax.scan fallback — correctness is unaffected.
     """
-    limit_words = int(_V2_VMEM_LIMIT * 0.95) // 4
-    const_words = 3 * (8 * D * H + 8 * H * H + 8 * H) + 4 * B * H
-    per_t_words = B * (8 * D + 34 * H + 4)
-    return const_words + 8 * per_t_words <= limit_words
+    limit_words = _V2_VMEM_LIMIT // 4
+    const_words, per_t_words = _v2_vmem_words(B, H, D, cd_bytes,
+                                              _stream_bytes())
+    return (const_words + 8 * per_t_words + _V2_RESIDUAL_WORDS
+            <= limit_words)
 
 
-def _v2_auto_chunk(tc: int, B: int, H: int, D: int) -> int:
+def _v2_auto_chunk(tc: int, B: int, H: int, D: int,
+                   cd_bytes: int = 4) -> int:
     """Largest multiple-of-8 chunk <= tc whose *backward* kernel (the
-    bigger of the two) fits the VMEM budget.
+    bigger of the two) fits the VMEM budget (lane-padded, dtype-aware
+    word model — see _v2_vmem_words).
 
-    f32 word counts, double-buffered streams included:
-      per-timestep: 2 dirs x [2x(x:D + v:1 + ys/cs/dy:3H) in
-                    + 2x(dx:D) out + xg/dg:8H + th/hp/cp:3H scratch]
-                  = B*(8D + 34H + 4)
-      constant: weights + weight-grad outputs + accumulators
-                  = 3*(8DH + 8H^2 + 8H) + dh/dc scratch 4BH
     Must be applied identically by _v2_fwd_impl and _v2_vjp_bwd so the
     residual time padding agrees between the two pallas_calls.
     """
     budget_words = int(_V2_VMEM_LIMIT * 0.85) // 4
-    const_words = 3 * (8 * D * H + 8 * H * H + 8 * H) + 4 * B * H
-    per_t_words = B * (8 * D + 34 * H + 4)
+    const_words, per_t_words = _v2_vmem_words(B, H, D, cd_bytes,
+                                              _stream_bytes())
     tc_max = max((budget_words - const_words) // max(per_t_words, 1), 8)
     if tc < 8:
         global _warned_chunk_floor
@@ -726,7 +788,7 @@ def _v2_fwd_impl(x, lens, w_x, b_x, w_hf, w_hb, compute_dtype, tc):
     H = w_hf.shape[0]
     cd = jnp.dtype(compute_dtype)
     interpret = jax.default_backend() != "tpu"
-    tc = _v2_auto_chunk(tc, B, H, D)
+    tc = _v2_auto_chunk(tc, B, H, D, cd.itemsize)
     xp, TP = _v2_pad_time(x, tc)
     valid = (jnp.arange(TP)[None, :] < lens[:, None]).astype(
         jnp.float32)[..., None]  # [B,TP,1] (Mosaic block-tiling rules)
@@ -796,7 +858,7 @@ def _v2_vjp_bwd(compute_dtype, tc, res, g):
     H = w_hf.shape[0]
     cd = jnp.dtype(compute_dtype)
     interpret = jax.default_backend() != "tpu"
-    tc = _v2_auto_chunk(tc, B, H, D)  # same clamp as _v2_fwd_impl
+    tc = _v2_auto_chunk(tc, B, H, D, cd.itemsize)  # same clamp as fwd
     n = TP // tc
 
     # Chunk-boundary states only ([B,n,H] — tiny): the kernel rebuilds

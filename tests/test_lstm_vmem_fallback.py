@@ -17,13 +17,42 @@ from gluon_e2e_asr_tpu.ops.pallas_lstm import fits_vmem
 
 
 def test_fits_vmem_boundaries():
-    # The rehearsal OOM shape (predicted 149.2M vs actual 147.7M used).
+    # The rehearsal OOM shape (predicted 152.4M vs actual 147.7M used).
     assert not fits_vmem(148, 320, 1280)
-    # The known-good flagship bench point (runs at tc=8, ~114M predicted).
+    # The known-good flagship bench point (runs at tc=8, ~115M predicted).
     assert fits_vmem(96, 320, 1280)
     # Narrow layers and small batches always fit.
     assert fits_vmem(96, 320, 80)
     assert fits_vmem(16, 256, 512)
+
+
+def test_fits_vmem_lane_padding_and_dtype():
+    """Round-4 B=128 bench findings: the D=80 layer-0 shape compile-OOM'd
+    at 131.76M where the unpadded model said 102.4M — lane padding
+    (80->128, 1->128, 320->384) is the whole gap. The model must (a)
+    admit the shape (auto-chunk now lands at tc=8, ~67M) and (b) keep
+    flagship layer-0 at its round-3 tc=16."""
+    from gluon_e2e_asr_tpu.ops.pallas_lstm import (
+        _v2_auto_chunk, _v2_vmem_words,
+    )
+
+    assert fits_vmem(128, 320, 80)
+    assert _v2_auto_chunk(64, 128, 320, 80) == 8
+    assert _v2_auto_chunk(64, 96, 320, 80) == 16  # flagship unchanged
+    # Calibration point: tc=16 at B=128/D=80 predicts 120.0M; the
+    # observed compile usage was 131.76M — the gap is the residual
+    # floor fits_vmem adds before admitting.
+    c, p = _v2_vmem_words(128, 320, 80)
+    predicted_mib = (c + 16 * p) * 4 / 2**20
+    assert abs(predicted_mib - 120.0) < 1.5, predicted_mib
+    # bf16 does NOT rescue the wide layer at B=128: measured 133.1M
+    # compile OOM (bf16 tiles pad the tc=8 sublane dim back to 16, so
+    # the stream discount is illusory) — both dtypes must be rejected.
+    assert not fits_vmem(128, 320, 1280, cd_bytes=4)
+    assert not fits_vmem(128, 320, 1280, cd_bytes=2)
+    # The production flagship wide layer stays admitted in both dtypes.
+    assert fits_vmem(96, 320, 1280, cd_bytes=2)
+    assert fits_vmem(96, 320, 1280, cd_bytes=4)
 
 
 def test_encoder_falls_back_instead_of_requesting_oversize_kernel(caplog):
