@@ -84,7 +84,16 @@ class Trainer:
             os.path.join(workdir, config.train.metrics_path)
         )
 
+        # Manifest-walk / synth-build time is an at-scale IO economics
+        # number the 100 h rehearsal records [VERDICT.md round-3 item 2].
+        t_walk = time.perf_counter()
         self.train_utts, self.dev_utts = build_datasets(config)
+        self.logger.log({
+            "event": "datasets",
+            "manifest_walk_s": round(time.perf_counter() - t_walk, 2),
+            "train_utts": len(self.train_utts),
+            "dev_utts": len(self.dev_utts),
+        })
         self.tokenizer = build_tokenizer(
             config, (u.text for u in self.train_utts))
         specs = make_bucket_specs(
@@ -336,6 +345,7 @@ class Trainer:
         for epoch in range(self.epoch0, tc.num_epochs):
             t_epoch = time.perf_counter()
             utts_done, tokens_done = 0, 0
+            real_samples, padded_samples = 0, 0
             window_t0, window_utts, window_tokens = time.perf_counter(), 0, 0
             skip = self.skip_batches if epoch == self.epoch0 else 0
             stopped_at = -1
@@ -366,6 +376,11 @@ class Trainer:
                         jax.profiler.stop_trace()
                         profiling = False
                     utts_done += b.num_real
+                    # Bucket-padding economics: device samples spent on
+                    # pad (bucket static shape + pad rows) vs real audio
+                    # [VERDICT.md round-3 item 2 "bucket padding waste"].
+                    real_samples += int(b.audio_len.sum())
+                    padded_samples += int(b.audio.shape[0] * b.audio.shape[1])
                     window_utts += b.num_real
                     window_tokens += int(b.label_len.sum())
                     tokens_done += int(b.label_len.sum())
@@ -431,6 +446,8 @@ class Trainer:
                 ),
                 "tokens_per_sec": round(
                     tokens_done / max(epoch_time, 1e-9), 1),
+                "pad_waste": round(
+                    1.0 - real_samples / max(padded_samples, 1), 4),
                 **{k: round(v, 4) for k, v in dev.items()},
             }
             self.logger.log(rec)
@@ -522,6 +539,7 @@ class Trainer:
         if dev_wer is not None:
             # This epoch's dev WER: what keep_policy="best" ranks by.
             meta["dev_wer"] = float(dev_wer)
+        t_save = time.perf_counter()
         save_checkpoint(
             os.path.join(self.workdir, self.config.train.ckpt_dir),
             self.state,
@@ -531,6 +549,14 @@ class Trainer:
             is_best=bool(is_best),
             keep_policy=self.config.train.keep_policy,
         )
+        # Checkpoint-IO economics at corpus scale (msgpack serialize +
+        # fsync + prune) [VERDICT.md round-3 item 2].
+        self.logger.log({
+            "event": "ckpt_io",
+            "epoch": epoch,
+            "save_s": round(time.perf_counter() - t_save, 3),
+            "best": bool(is_best),
+        })
 
     def evaluate(self) -> Dict[str, float]:
         """Greedy-decode the dev set and score WER/CER [BASELINE.json:L2]."""
