@@ -100,6 +100,26 @@ def test_ckpt_resume_bitwise(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_metrics_io_economics_fields(tmp_path):
+    """The metrics JSONL carries the at-scale IO economics records the
+    100 h rehearsal reads: manifest-walk time, checkpoint-save time,
+    per-epoch bucket padding waste [VERDICT.md round-3 item 2]."""
+    cfg = tiny_config(str(tmp_path), epochs=1)
+    trainer = Trainer(cfg, workdir=str(tmp_path))
+    trainer.train()
+    with open(os.path.join(str(tmp_path), "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    by_event = {}
+    for r in recs:
+        by_event.setdefault(r["event"], []).append(r)
+    ds = by_event["datasets"][0]
+    assert ds["manifest_walk_s"] >= 0 and ds["train_utts"] == 8
+    ck = by_event["ckpt_io"]
+    assert ck and all(c["save_s"] > 0 for c in ck)
+    ep = by_event["epoch"][-1]
+    assert 0.0 <= ep["pad_waste"] < 1.0
+
+
 @pytest.mark.slow
 def test_train_decode_cli(tmp_path):
     """The public train/decode CLI end to end [BASELINE.json:L5]."""
