@@ -30,6 +30,16 @@ class DataConfig:
     # sizes requires decode.ctc_score_candidates > 0 (partial CTC scoring).
     tokenizer: str = "char"
     bpe_vocab_size: int = 256  # total ids incl. specials + single chars
+    # Host->device audio dtype: "float32" (default) or "int16" (PCM16
+    # device-transfer mode). Audio is 16-bit on disk; int16 ships those
+    # samples verbatim and the frontend reconstructs f32 on device
+    # (* 2^-15 — bitwise-identical to the float32 pipeline for 16-bit
+    # sources when speed_perturb is off; perturbed train rows re-quantize
+    # with error <= 0.5/32768). Halves H2D bytes per step — and on hosts
+    # whose device plugin retains transfer staging buffers (measured on
+    # this box: ~1:1 with payload), halves the resident-host-memory
+    # growth that OOM'd the first 100 h rehearsal run at epoch 4.
+    transfer_dtype: str = "float32"
     # Synthetic dataset knobs (no LibriSpeech on this machine; SURVEY §0).
     synth_num_train: int = 64
     synth_num_dev: int = 16

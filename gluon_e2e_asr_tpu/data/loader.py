@@ -84,6 +84,23 @@ def _get_native_wav_loader():
         return None
 
 
+def _get_native_wav_loader_i16():
+    try:
+        from gluon_e2e_asr_tpu.utils.native import load_pack_audio_batch_i16
+
+        return load_pack_audio_batch_i16
+    except Exception:
+        return None
+
+
+def _quantize_i16(audio_f32: np.ndarray) -> np.ndarray:
+    """round(x*32768) clipped to int16 — the exact inverse of the audio
+    decoders' /32768 for 16-bit sources, so int16 transfer reconstructs
+    the float32 pipeline bitwise on-device [data.transfer_dtype]."""
+    q = np.rint(audio_f32 * 32768.0)
+    return np.clip(q, -32768, 32767).astype(np.int16)
+
+
 class DataLoader:
     """Iterates (epoch) -> padded Batch objects in sampler order."""
 
@@ -96,7 +113,20 @@ class DataLoader:
         use_native: bool = True,
         speed_perturb: Sequence[float] = (),
         perturb_seed: int = 0,
+        transfer_dtype: str = "float32",
     ):
+        # PCM16 device-transfer mode [data.transfer_dtype]: batches ship
+        # audio as int16 and the frontend reconstructs f32 on device
+        # (* 2^-15). Halves host->device bytes — audio IS 16-bit on disk
+        # and only needs to become f32 on the chip. Found necessary at
+        # the 100 h rehearsal: this box's device plugin retains every
+        # H2D staging buffer (~measured 1:1 with payload), so bytes on
+        # the wire are also resident-host-memory per step.
+        if transfer_dtype not in ("float32", "int16"):
+            raise ValueError(
+                f"data.transfer_dtype must be float32|int16, "
+                f"got {transfer_dtype!r}")
+        self._i16 = transfer_dtype == "int16"
         self.utts = list(utts)
         self.sampler = sampler
         self.tokenizer = tokenizer
@@ -112,7 +142,9 @@ class DataLoader:
                 f"speed_perturb factors must be > 0: {self.speed_perturb}")
         self.perturb_seed = perturb_seed
         self._native = _get_native_packer() if use_native else None
-        self._native_wav = _get_native_wav_loader() if use_native else None
+        self._native_wav = (
+            (_get_native_wav_loader_i16() if self._i16
+             else _get_native_wav_loader()) if use_native else None)
         self._native_wav_failures = 0
         # Synthetic audio is cheap; cache decoded waveforms for reuse across
         # epochs (they are small: seconds of float32). Touched by at most
@@ -168,6 +200,7 @@ class DataLoader:
         classic offline sox-speed 0.9/1.0/1.1 corpus tripling, drawn
         fresh per epoch instead of fixed per copy.
         """
+        i16 = audio.dtype == np.int16
         for row, i in enumerate(idxs):
             f = self._perturb_factor(epoch, i)
             n = int(audio_len[row])
@@ -175,11 +208,22 @@ class DataLoader:
                 continue
             new_n = min(int(round(n / f)), max_samples)
             pos = np.arange(new_n, dtype=np.float64) * f
+            src = (audio[row, :n].astype(np.float64) / 32768.0
+                   if i16 else audio[row, :n])
             w = np.interp(pos, np.arange(n, dtype=np.float64),
-                          audio[row, :n]).astype(np.float32)
-            audio[row, :new_n] = w
+                          src).astype(np.float32)
+            if i16:
+                # Re-quantize the interpolated row (plain float assignment
+                # into an int16 array would C-TRUNCATE, not round). The
+                # added error is <= 0.5/32768 — 3 orders below the
+                # recipe's own augmentation noise; eval/decode never
+                # perturbs, so the exact-reconstruction contract holds
+                # everywhere quality is measured.
+                audio[row, :new_n] = _quantize_i16(w)
+            else:
+                audio[row, :new_n] = w
             if new_n < n:
-                audio[row, new_n:n] = 0.0
+                audio[row, new_n:n] = 0
             audio_len[row] = new_n
 
     def make_batch(self, bucket: int, idxs: Sequence[int],
@@ -223,6 +267,8 @@ class DataLoader:
             else:
                 audio, audio_len = _pack_python(
                     waves, spec.max_samples, spec.batch_size)
+            if self._i16:
+                audio = _quantize_i16(audio)
         if self.speed_perturb and epoch is not None:
             self._apply_speed_perturb(
                 audio, audio_len, idxs, epoch, spec.max_samples)

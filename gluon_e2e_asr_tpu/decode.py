@@ -94,7 +94,8 @@ def main(argv=None):
     )
     sampler = BucketSampler(dev_utts, specs, config.data.sample_rate,
                             seed=0, shuffle=False)
-    loader = DataLoader(dev_utts, sampler, tokenizer, config.data.sample_rate)
+    loader = DataLoader(dev_utts, sampler, tokenizer, config.data.sample_rate,
+                        transfer_dtype=config.data.transfer_dtype)
 
     # Interactive-serving defaults at B=1 [VERDICT.md round-2 item 5]:
     # partial CTC scoring + end-detect (decoding/serving.py; explicit

@@ -297,6 +297,15 @@ def frontend_apply(cfg: FrontendConfig, audio, audio_len, *, train=False, rng=No
     """Implementation-selecting wrapper: cfg.impl in {"jnp", "pallas",
     "pallas_regrid"}. All paths share the identical signature and
     numerics contract [SURVEY.md §3.3 fallback note]."""
+    if audio.dtype == jnp.int16:
+        # PCM16 device-transfer mode [data.transfer_dtype=int16]: the
+        # loader shipped raw 16-bit samples; reconstruct the float32
+        # waveform on device. * 2^-15 is an exact power-of-two scale, so
+        # for 16-bit sources this is bitwise-identical to shipping the
+        # decoder's own f32 (= s/32768). Done here because every
+        # frontend impl and every entry point (train/eval/decode/CMVN)
+        # funnels through frontend_apply.
+        audio = audio.astype(jnp.float32) * jnp.float32(2.0 ** -15)
     if cfg.impl == "pallas":
         from gluon_e2e_asr_tpu.frontend.pallas_frontend import compute_features_pallas
 

@@ -30,6 +30,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -731,6 +732,56 @@ int32_t load_pack_wav_batch(const char** paths, int32_t n,
                             int32_t* out_lens, int32_t nthreads) {
   return load_pack_audio_batch(paths, n, expect_rate, max_samples, batch,
                                out_audio, out_lens, nthreads);
+}
+
+// PCM16 device-transfer variant [data.transfer_dtype=int16]: identical
+// read+decode+pack, but rows land as int16 (round(x*32768), clipped).
+// For 16-bit sources (LibriSpeech, this repo's FLAC corpus) the decoder
+// produced x = s/32768, so the quantization is an EXACT inverse and the
+// on-device f32 reconstruction (x * 2^-15) is bitwise-identical to the
+// float32 path. Host->device bytes halve — that is the point: audio is
+// 16-bit on disk and only needs to become f32 on the chip.
+int32_t load_pack_audio_batch_i16(const char** paths, int32_t n,
+                                  int32_t expect_rate, int32_t max_samples,
+                                  int32_t batch, int16_t* out_audio,
+                                  int32_t* out_lens, int32_t nthreads) {
+  std::memset(out_audio, 0,
+              sizeof(int16_t) * static_cast<size_t>(batch) * max_samples);
+  std::memset(out_lens, 0, sizeof(int32_t) * batch);
+  const int32_t rows = std::min(n, batch);
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    std::vector<float> scratch(static_cast<size_t>(max_samples));
+    for (;;) {
+      const int32_t i = next.fetch_add(1);
+      if (i >= rows) return;
+      const int32_t got = decode_audio_impl(paths[i], expect_rate,
+                                            scratch.data(), max_samples);
+      out_lens[i] = got;
+      if (got > 0) {
+        int16_t* row = out_audio + static_cast<size_t>(i) * max_samples;
+        for (int32_t s = 0; s < got; ++s) {
+          const float v = scratch[s] * 32768.0f;
+          const long q = lrintf(v);
+          row[s] = static_cast<int16_t>(
+              q < -32768 ? -32768 : (q > 32767 ? 32767 : q));
+        }
+      }
+    }
+  };
+  int32_t nt = nthreads > 0 ? nthreads : 4;
+  nt = std::min(nt, rows > 0 ? rows : 1);
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int32_t t = 0; t < nt; ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  for (int32_t i = 0; i < rows; ++i)
+    if (out_lens[i] < 0) return out_lens[i];
+  return 0;
 }
 
 }  // extern "C"

@@ -122,6 +122,7 @@ class Trainer:
             self.train_utts, self.sampler, self.tokenizer,
             config.data.sample_rate,
             speed_perturb=sp, perturb_seed=config.train.seed,
+            transfer_dtype=config.data.transfer_dtype,
         )
         self.dev_sampler = BucketSampler(
             self.dev_utts, specs, config.data.sample_rate,
@@ -130,6 +131,7 @@ class Trainer:
         self.dev_loader = DataLoader(
             self.dev_utts, self.dev_sampler, self.tokenizer,
             config.data.sample_rate,
+            transfer_dtype=config.data.transfer_dtype,
         )
 
         # Surface silently unbucketable utterances [code-review finding]:

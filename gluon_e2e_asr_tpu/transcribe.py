@@ -148,7 +148,8 @@ def main(argv=None):
         # with empty texts that cannot happen — guard anyway.
         bad = [utts[i].audio_path for i in sampler.skipped]
         raise ValueError(f"unbucketable inputs: {bad}")
-    loader = DataLoader(utts, sampler, tokenizer, config.data.sample_rate)
+    loader = DataLoader(utts, sampler, tokenizer, config.data.sample_rate,
+                        transfer_dtype=config.data.transfer_dtype)
 
     model = build_model(config, tokenizer.vocab_size, tokenizer.sos_id,
                         tokenizer.eos_id)

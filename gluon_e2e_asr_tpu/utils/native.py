@@ -202,6 +202,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.load_pack_audio_batch.restype = ctypes.c_int32
         lib.load_pack_wav_batch.argtypes = batch_sig
         lib.load_pack_wav_batch.restype = ctypes.c_int32
+        batch_sig_i16 = list(batch_sig)
+        batch_sig_i16[5] = ctypes.POINTER(ctypes.c_int16)
+        lib.load_pack_audio_batch_i16.argtypes = batch_sig_i16
+        lib.load_pack_audio_batch_i16.restype = ctypes.c_int32
         lib.encode_flac_i16.argtypes = [
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int16),
@@ -358,6 +362,34 @@ def load_pack_audio_batch(
 
 # Backward-compatible alias (pre-FLAC name).
 load_pack_wav_batch = load_pack_audio_batch
+
+
+def load_pack_audio_batch_i16(
+    paths: Sequence[str], expect_rate: int, max_samples: int,
+    batch_size: int, nthreads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """PCM16 device-transfer variant of :func:`load_pack_audio_batch`
+    [data.transfer_dtype=int16]: rows land as int16 (exact inverse of the
+    decoder's /32768 for 16-bit sources), halving host->device bytes.
+
+    Returns (audio [batch, max_samples] int16, lens [batch] int32).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = len(paths)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    out_audio = np.empty((batch_size, max_samples), np.int16)
+    out_lens = np.empty((batch_size,), np.int32)
+    rc = lib.load_pack_audio_batch_i16(
+        arr, n, expect_rate, max_samples, batch_size,
+        out_audio.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nthreads,
+    )
+    if rc != 0:
+        raise ValueError(f"load_pack_audio_batch_i16 failed: rc={rc}")
+    return out_audio, out_lens
 
 
 def edit_distance_native(ref: List[str], hyp: List[str]) -> int:
