@@ -135,7 +135,10 @@ class FrontendConfig:
     # semantics). Shared post-stage of both frontend impls.
     deltas: int = 0
     delta_window: int = 2
-    # Implementation selector: "jnp" (composed XLA) | "pallas" (fused kernel).
+    # Implementation selector: "jnp" (composed XLA) | "pallas" (fused
+    # kernel, grid over batch) | "pallas_regrid" (fused kernel, grid
+    # over frame chunks — DESIGN.md TODO 1). frontend_apply validates
+    # this and raises on unknown values [ADVICE.md round-4 #2].
     impl: str = "jnp"
 
 

@@ -320,9 +320,16 @@ def frontend_apply(cfg: FrontendConfig, audio, audio_len, *, train=False, rng=No
         feats, feat_len = compute_features_pallas_regrid(
             cfg, audio, audio_len, train=train, rng=rng, cmvn_stats=cmvn_stats
         )
-    else:
+    elif cfg.impl == "jnp":
         feats, feat_len = compute_features(
             cfg, audio, audio_len, train=train, rng=rng, cmvn_stats=cmvn_stats
+        )
+    else:
+        # A typo'd impl silently falling through to jnp would mask a
+        # misconfigured experiment [ADVICE.md round-4 #2].
+        raise ValueError(
+            f"frontend.impl={cfg.impl!r} not in ('jnp', 'pallas', "
+            "'pallas_regrid')"
         )
     if cfg.deltas > 0:
         # Shared post-stage (identical for both impls): deltas of the

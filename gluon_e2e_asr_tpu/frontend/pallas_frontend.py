@@ -151,15 +151,30 @@ def _kernel(
 REGRID_CHUNK = int(os.environ.get("GLUON_FE_RC", "128"))  # frames/grid step
 
 # Measured VMEM cost of the regrid kernel per (utterance, frame) at
-# hop=160/M=80: the B=96/RC=128 compile used 163.11M -> 3,481 f32 words
-# per (b, frame) including double buffering and Mosaic overheads. The
-# budget keeps ~25% headroom under the 128M hard limit.
+# hop=160/n_freq=257/M=80: the B=96/RC=128 compile used 163.11M ->
+# 3,481 f32 words per (b, frame) including double buffering and Mosaic
+# overheads. The raw per-(b,frame) footprint at that config is
+# 3*hop (three hop-strided audio views) + 2*n_freq (re/im spectrum)
+# + M (mel out) = 1,074 words; the measured/raw ratio (~3.24x) folds in
+# double buffering, window products, and Mosaic lane padding. For
+# non-default frontend shapes the model scales the calibrated constant
+# by the raw-footprint ratio [ADVICE.md round-4 #1: a fixed constant
+# under-budgets larger hop/n_fft/n_mels]. The budget keeps ~25%
+# headroom under the 128M hard limit.
 _REGRID_WORDS_PER_BF = 3481
+_REGRID_CALIB_RAW = 3 * 160 + 2 * 257 + 80  # = 1074 at the calibrated config
 _REGRID_BUDGET_WORDS = (96 * 1024 * 1024) // 4
 
 
-def _regrid_auto_chunk(B: int) -> int:
-    rc = min(REGRID_CHUNK, _REGRID_BUDGET_WORDS // (B * _REGRID_WORDS_PER_BF))
+def _regrid_words_per_bf(hop: int, n_freq: int, n_mels: int) -> int:
+    raw = 3 * hop + 2 * n_freq + n_mels
+    return max(1, (_REGRID_WORDS_PER_BF * raw) // _REGRID_CALIB_RAW)
+
+
+def _regrid_auto_chunk(B: int, hop: int = 160, n_freq: int = 257,
+                       n_mels: int = 80) -> int:
+    words = _regrid_words_per_bf(hop, n_freq, n_mels)
+    rc = min(REGRID_CHUNK, _REGRID_BUDGET_WORDS // (B * words))
     return max(8, (rc // 8) * 8)
 
 
@@ -283,7 +298,7 @@ def compute_features_pallas_regrid(
     assert win <= 3 * hop, "kernel framing assumes win <= 3*hop"
     F = num_frames(S, win, hop)
     assert F > 0, "bucket shorter than one window"
-    RC = _regrid_auto_chunk(B)
+    RC = _regrid_auto_chunk(B, hop=hop, n_freq=cfg.n_fft // 2 + 1, n_mels=M)
     FP = ((F + RC - 1) // RC) * RC
     n = FP // RC
     S_need = (FP + 2) * hop
@@ -326,7 +341,11 @@ def compute_features_pallas_regrid(
         win=win,
         n_mels=M,
         log_floor=cfg.log_floor,
-        fused_epilogue=fused and not interpret,
+        # The CMVN/valid-mask epilogue is interpretable (iota +
+        # arithmetic only), so it runs in-kernel under interpret mode
+        # too and the CPU parity tests cover it [ADVICE.md round-4 #3];
+        # only the TPU-PRNG SpecAugment stage needs real hardware.
+        fused_epilogue=fused,
         cmvn_mode=cfg.cmvn,
         train_specaug=in_kernel_specaug,
         sa_freq_masks=cfg.specaug_freq_masks,
@@ -362,12 +381,24 @@ def compute_features_pallas_regrid(
       jnp.asarray(mel), cmvn_arr, feat_len[:, None])
     feats = feats_padded[:, :F, :]
 
-    if fused and not interpret:
+    if fused:
+        if do_specaug and not in_kernel_specaug:
+            # Interpret mode: the kernel already applied CMVN + valid
+            # mask; only the (TPU-PRNG) SpecAugment stage falls back to
+            # the jnp implementation.
+            assert rng is not None
+            feats = spec_augment(
+                feats, feat_len, rng, cfg.specaug_freq_masks,
+                cfg.specaug_freq_width, cfg.specaug_time_masks,
+                cfg.specaug_time_width,
+            )
+            valid = (jnp.arange(F)[None, :] < feat_len[:, None])[..., None]
+            feats = jnp.where(valid, feats, 0.0)
         return feats, feat_len
 
-    # utterance CMVN (whole-utterance moments) and/or interpret mode:
-    # finish with the XLA epilogue — bandwidth-bound elementwise work
-    # XLA fuses fine; parity with the jnp path falls out by reusing it.
+    # utterance CMVN (whole-utterance moments): finish with the XLA
+    # epilogue — bandwidth-bound elementwise work XLA fuses fine;
+    # parity with the jnp path falls out by reusing it.
     feats = apply_cmvn(feats, feat_len, cfg.cmvn, cmvn_stats)
     if do_specaug:
         assert rng is not None

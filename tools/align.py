@@ -111,7 +111,8 @@ def main(argv=None):
               "aligned — raise data.bucket_bounds_sec / "
               "data.max_label_len", file=sys.stderr)
     loader = DataLoader(dev_utts, sampler, tokenizer,
-                        config.data.sample_rate)
+                        config.data.sample_rate,
+                        transfer_dtype=config.data.transfer_dtype)
 
     model = build_model(config, tokenizer.vocab_size, tokenizer.sos_id,
                         tokenizer.eos_id)

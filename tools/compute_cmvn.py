@@ -45,7 +45,8 @@ def main(argv=None):
     sampler = BucketSampler(train_utts, specs, config.data.sample_rate,
                             seed=0, shuffle=False)
     loader = DataLoader(train_utts, sampler, CharTokenizer(),
-                        config.data.sample_rate)
+                        config.data.sample_rate,
+                        transfer_dtype=config.data.transfer_dtype)
 
     fcfg = config.frontend
 

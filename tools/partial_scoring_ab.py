@@ -93,7 +93,8 @@ def main(argv=None) -> None:
     sampler = BucketSampler(dev_utts, specs, config.data.sample_rate,
                             seed=0, shuffle=False)
     loader = DataLoader(dev_utts, sampler, tokenizer,
-                        config.data.sample_rate)
+                        config.data.sample_rate,
+                        transfer_dtype=config.data.transfer_dtype)
     model = build_model(config, tokenizer.vocab_size, tokenizer.sos_id,
                         tokenizer.eos_id)
     first = next(iter(loader.epoch(0)))
