@@ -183,11 +183,14 @@ class DataLoader:
 
 
     def _perturb_factor(self, epoch: int, utt_idx: int) -> float:
-        """Deterministic per-(epoch, utterance) speed factor draw."""
-        key = ((self.perturb_seed * 1000003 + epoch) * 1000003
-               + utt_idx) & 0x7FFFFFFF
-        r = np.random.RandomState(key)
-        return self.speed_perturb[r.randint(len(self.speed_perturb))]
+        """Deterministic per-(epoch, utterance) speed factor draw —
+        the SAME function the sampler's realized placement uses
+        (sampler.perturb_factor), so the bucket an utterance lands in
+        always matches the duration the loader produces for it."""
+        from gluon_e2e_asr_tpu.data.sampler import perturb_factor
+
+        return perturb_factor(self.perturb_seed, epoch, utt_idx,
+                              self.speed_perturb)
 
     def _apply_speed_perturb(self, audio: np.ndarray, audio_len: np.ndarray,
                              idxs: Sequence[int], epoch: int,
@@ -229,6 +232,17 @@ class DataLoader:
     def make_batch(self, bucket: int, idxs: Sequence[int],
                    epoch: Optional[int] = None) -> Batch:
         spec: BucketSpec = self.sampler.specs[bucket]
+        # Realized bucket placement (sampler) admits an utterance whose
+        # RAW length exceeds the bucket cap as long as its perturbed
+        # length fits (f > 1 plays it faster). Pack into a buffer wide
+        # enough for the largest such raw length so the resample sees
+        # the whole waveform — packing straight into [bs, cap] would
+        # silently truncate the tail BEFORE the speedup shrinks it.
+        pack_cap = spec.max_samples
+        perturbing = bool(self.speed_perturb) and epoch is not None
+        if perturbing and max(self.speed_perturb) > 1.0:
+            pack_cap = int(np.ceil(spec.max_samples
+                                   * max(self.speed_perturb)))
         audio = audio_len = None
         # Real-corpus hot path: every utterance is an on-disk wav/flac ->
         # the native library reads, decodes, downmixes, and packs the whole
@@ -242,7 +256,7 @@ class DataLoader:
             try:
                 audio, audio_len = self._native_wav(
                     [self.utts[i].audio_path for i in idxs],
-                    self.sample_rate, spec.max_samples, spec.batch_size,
+                    self.sample_rate, pack_cap, spec.batch_size,
                 )
                 self._native_wav_failures = 0
             except Exception as e:
@@ -263,15 +277,21 @@ class DataLoader:
             waves = [self._wave(i) for i in idxs]
             if self._native is not None:
                 audio, audio_len = self._native(
-                    waves, spec.max_samples, spec.batch_size)
+                    waves, pack_cap, spec.batch_size)
             else:
                 audio, audio_len = _pack_python(
-                    waves, spec.max_samples, spec.batch_size)
+                    waves, pack_cap, spec.batch_size)
             if self._i16:
                 audio = _quantize_i16(audio)
-        if self.speed_perturb and epoch is not None:
+        if perturbing:
             self._apply_speed_perturb(
                 audio, audio_len, idxs, epoch, spec.max_samples)
+        if pack_cap != spec.max_samples:
+            # Post-perturb every valid length fits the bucket cap
+            # (placement guarantees it; _apply_speed_perturb clamps the
+            # <=2-sample manifest-rounding slack); drop the staging tail.
+            audio = np.ascontiguousarray(audio[:, : spec.max_samples])
+            np.minimum(audio_len, spec.max_samples, out=audio_len)
         labels = np.zeros((spec.batch_size, spec.max_labels), np.int32)
         label_len = np.zeros((spec.batch_size,), np.int32)
         utt_ids = []

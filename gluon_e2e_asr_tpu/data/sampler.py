@@ -60,11 +60,42 @@ def make_bucket_specs(
     return specs
 
 
+def perturb_factor(perturb_seed: int, epoch: int, utt_idx: int,
+                   factors: Sequence[float]) -> float:
+    """Deterministic per-(epoch, utterance) speed-perturb factor draw.
+
+    Shared by DataLoader (which resamples the audio by it) and
+    BucketSampler (which, in realized-placement mode, buckets each
+    utterance by the duration this factor actually produces) — both see
+    the SAME draw, which is what makes exact placement sound.
+    """
+    key = ((perturb_seed * 1000003 + epoch) * 1000003
+           + utt_idx) & 0x7FFFFFFF
+    r = np.random.RandomState(key)
+    return factors[r.randint(len(factors))]
+
+
 class BucketSampler:
     """Assign utterances to buckets; yield per-epoch batches of indices.
 
     Determinism: the epoch shuffle is keyed by (seed, epoch) so resume
     reproduces the uninterrupted batch order [SURVEY.md §5 checkpoint].
+
+    Two placement modes:
+
+    * static (default): each utterance is assigned once, by
+      ``duration * duration_scale`` — worst-case headroom when speed
+      perturbation is on (duration_scale = 1/min(factor)), so a
+      stretched waveform always fits. Simple, but the headroom is pure
+      padding whenever the epoch's draw is not the slowest factor
+      (measured 23.2% padded-frame waste at the 100 h rehearsal).
+    * realized (``speed_perturb`` given): placement is recomputed per
+      epoch from the duration each utterance will ACTUALLY have after
+      that epoch's deterministic factor draw (perturb_factor above) —
+      no headroom at all. Pure function of (seed, perturb_seed, epoch),
+      so mid-epoch resume still replays identical batches. The loader's
+      max_samples clamp absorbs the <=2-sample rounding slack between
+      the manifest's 0.1 ms-rounded duration and the decoded length.
     """
 
     def __init__(
@@ -77,6 +108,8 @@ class BucketSampler:
         drop_last: bool = False,
         sortagrad_epochs: int = 0,
         duration_scale: float = 1.0,
+        speed_perturb: Sequence[float] = (),
+        perturb_seed: int = 0,
     ):
         self.specs = list(specs)
         self.seed = seed
@@ -89,12 +122,20 @@ class BucketSampler:
         # number, so mid-epoch resume replays identically.
         self.sortagrad_epochs = int(sortagrad_epochs)
         self._durations = [float(u.duration) for u in utts]
+        self._texts_len = [len(u.text) for u in utts]
+        self._sample_rate = sample_rate
+        self.speed_perturb = tuple(float(f) for f in speed_perturb)
+        self.perturb_seed = perturb_seed
         self.assignments: List[List[int]] = [[] for _ in self.specs]
         self.skipped: List[int] = []
-        # duration_scale > 1 reserves bucket room for on-the-fly speed
-        # perturbation (data.speed_perturb): the slowest factor f < 1
-        # stretches audio by 1/f, and placement must guarantee the
-        # stretched waveform still fits its bucket's static shape.
+        # Static placement (also the worst-case feasibility record in
+        # realized mode): duration_scale > 1 reserves bucket room for
+        # on-the-fly speed perturbation (data.speed_perturb): the
+        # slowest factor f < 1 stretches audio by 1/f, and static
+        # placement must guarantee the stretched waveform still fits its
+        # bucket's shape. Realized mode re-places per epoch instead.
+        if self.speed_perturb:
+            duration_scale = 1.0 / min(self.speed_perturb)
         for i, u in enumerate(utts):
             n_samples = int(round(u.duration * duration_scale * sample_rate))
             placed = False
@@ -105,6 +146,24 @@ class BucketSampler:
                     break
             if not placed:
                 self.skipped.append(i)
+
+    def _epoch_assignments(self, epoch: int) -> List[List[int]]:
+        """Bucket assignment for one epoch: realized durations when
+        speed_perturb is set, the static worst-case otherwise."""
+        if not self.speed_perturb:
+            return self.assignments
+        assignments: List[List[int]] = [[] for _ in self.specs]
+        sr = self._sample_rate
+        for i, d in enumerate(self._durations):
+            f = perturb_factor(self.perturb_seed, epoch, i,
+                               self.speed_perturb)
+            n_samples = int(round(round(d * sr) / f))
+            for b, spec in enumerate(self.specs):
+                if (n_samples <= spec.max_samples
+                        and self._texts_len[i] <= spec.max_labels):
+                    assignments[b].append(i)
+                    break
+        return assignments
 
     def num_batches(self) -> int:
         total = 0
@@ -122,7 +181,7 @@ class BucketSampler:
         shuffle = self.shuffle and not sorta
         rng = np.random.RandomState((self.seed * 1000003 + epoch) & 0x7FFFFFFF)
         all_batches = []
-        for b, idxs in enumerate(self.assignments):
+        for b, idxs in enumerate(self._epoch_assignments(epoch)):
             order = np.array(idxs, dtype=np.int64)
             if sorta:
                 # shortest first within the bucket (stable: ties keep

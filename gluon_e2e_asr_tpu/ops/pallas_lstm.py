@@ -411,7 +411,8 @@ def _cell_fwd_dir(xg, h, c, w_h, compute_dtype):
 def _v2_fwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref, wx_ref, bx_ref,
                    whf_ref, whb_ref,
                    ysf_ref, ysb_ref, csf_ref, csb_ref,
-                   hf_scr, cf_scr, hb_scr, cb_scr, xgf_scr, xgb_scr, *,
+                   hf_scr, cf_scr, hb_scr, cb_scr, xgf_scr, xgb_scr,
+                   ysf_scr, ysb_scr, csf_scr, csb_scr, *,
                    tc: int, H: int, compute_dtype):
     cd = compute_dtype
 
@@ -444,14 +445,19 @@ def _v2_fwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref, wx_ref, bx_ref,
     #    h' = sig(0)*tanh(0) = 0 — so the state is still exactly the
     #    initial zeros when the first valid step arrives.
     def body(k, _):
-        # forward direction: natural time order within the chunk
+        # forward direction: natural time order within the chunk.
+        # Per-step rows land in f32 VMEM scratch; the stream refs get ONE
+        # full-block masked store at chunk end. Full-block stores are
+        # what makes bf16 stream refs legal: Mosaic rejects [B,1,H]
+        # bf16 stores at lane-unaligned H (DESIGN.md TODO 2), but a
+        # whole-[B,tc,H] store tiles cleanly at any dtype.
         h_new, c_new = _cell_fwd_dir(xgf_scr[:, pl.ds(k, 1), :][:, 0, :],
                                      hf_scr[...], cf_scr[...],
                                      whf_ref[...], cd)
         hf_scr[...] = h_new
         cf_scr[...] = c_new
-        ysf_ref[:, pl.ds(k, 1), :] = h_new.astype(ysf_ref.dtype)[:, None, :]
-        csf_ref[:, pl.ds(k, 1), :] = c_new.astype(csf_ref.dtype)[:, None, :]
+        ysf_scr[:, pl.ds(k, 1), :] = h_new[:, None, :]
+        csf_scr[:, pl.ds(k, 1), :] = c_new[:, None, :]
         # backward direction: reverse order within the (reverse-indexed)
         # chunk, so it sweeps global time T-1 -> 0
         i = tc - 1 - k
@@ -460,19 +466,19 @@ def _v2_fwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref, wx_ref, bx_ref,
                                      whb_ref[...], cd)
         hb_scr[...] = h_new
         cb_scr[...] = c_new
-        ysb_ref[:, pl.ds(i, 1), :] = h_new.astype(ysb_ref.dtype)[:, None, :]
-        csb_ref[:, pl.ds(i, 1), :] = c_new.astype(csb_ref.dtype)[:, None, :]
+        ysb_scr[:, pl.ds(i, 1), :] = h_new[:, None, :]
+        csb_scr[:, pl.ds(i, 1), :] = c_new[:, None, :]
         return 0
 
     jax.lax.fori_loop(0, tc, body, 0, unroll=_unroll(tc))
 
-    # Chunk-wide masking of the streamed outputs (invalid steps -> 0).
-    mask_out = lambda ref, v: (  # noqa: E731
-        ref[...].astype(jnp.float32) * v).astype(ref.dtype)
-    ysf_ref[...] = mask_out(ysf_ref, vf_ref[...])
-    csf_ref[...] = mask_out(csf_ref, vf_ref[...])
-    ysb_ref[...] = mask_out(ysb_ref, vb_ref[...])
-    csb_ref[...] = mask_out(csb_ref, vb_ref[...])
+    # Single full-block masked store per stream (invalid steps -> 0).
+    # One write instead of the old per-step store + full-ref masking
+    # rewrite, and the only store the stream dtype sees is full-tile.
+    ysf_ref[...] = (ysf_scr[...] * vf_ref[...]).astype(ysf_ref.dtype)
+    csf_ref[...] = (csf_scr[...] * vf_ref[...]).astype(csf_ref.dtype)
+    ysb_ref[...] = (ysb_scr[...] * vb_ref[...]).astype(ysb_ref.dtype)
+    csb_ref[...] = (csb_scr[...] * vb_ref[...]).astype(csb_ref.dtype)
 
 
 def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
@@ -539,16 +545,19 @@ def _v2_bwd_kernel(xf_ref, xb_ref, vf_ref, vb_ref,
     # edge state) instead of streaming XLA-materialized shifted copies —
     # saves two full [B,T,H] HBM streams per direction plus their
     # production (write+read) in the XLA prologue.
+    # Streams load as FULL blocks and slice in-register: partial-sublane
+    # loads of bf16 refs hit the same Mosaic tiling restriction as the
+    # old per-step stores; full-block loads tile cleanly at any dtype.
     f32 = lambda a: a.astype(jnp.float32)  # noqa: E731
     hpf_scr[:, :1, :] = f32(bhf_ref[0][:, None, :])
-    hpf_scr[:, 1:, :] = f32(ysf_ref[:, :tc - 1, :])
+    hpf_scr[:, 1:, :] = f32(ysf_ref[...])[:, :tc - 1, :]
     cpf_scr[:, :1, :] = f32(bcf_ref[0][:, None, :])
-    cpf_scr[:, 1:, :] = f32(csf_ref[:, :tc - 1, :])
+    cpf_scr[:, 1:, :] = f32(csf_ref[...])[:, :tc - 1, :]
     # backward dir: "previous" state lives at t+1
     hpb_scr[:, tc - 1:, :] = f32(bhb_ref[0][:, None, :])
-    hpb_scr[:, :tc - 1, :] = f32(ysb_ref[:, 1:, :])
+    hpb_scr[:, :tc - 1, :] = f32(ysb_ref[...])[:, 1:, :]
     cpb_scr[:, tc - 1:, :] = f32(bcb_ref[0][:, None, :])
-    cpb_scr[:, :tc - 1, :] = f32(csb_ref[:, 1:, :])
+    cpb_scr[:, :tc - 1, :] = f32(csb_ref[...])[:, 1:, :]
 
     recompute_acts(xgf_scr, xf_ref, wx_ref[:, :4 * H], bx_ref[:, :4 * H],
                    hpf_scr, whf_ref, vf_ref)
@@ -668,6 +677,12 @@ def _v2_vmem_words(B: int, H: int, D: int, cd_bytes: int = 4,
     The lane-padding terms are NOT optional: the round-4 B=128 bench
     compile-OOM'd at 131.76M where the unpadded model predicted 102.4M —
     most of the gap is D=80->128, 1->128, and H=320->384 lane inflation.
+
+    The forward kernel (round 5) carries 4 extra f32 [B,tc,plH] stream
+    chunk buffers (full-block bf16 stores), but stays strictly smaller
+    than the backward at every shape: bwd - fwd per-timestep =
+    4*pl(D) + 6*pl(H) + 2*pl(4H) > 0, so modeling the backward still
+    bounds both pallas_calls.
 
     cd_bytes discounts ONLY the VMEM-resident weights: the bf16 x
     windows do NOT shrink in practice, because bf16 tiles pad the
@@ -837,6 +852,13 @@ def _v2_fwd_impl(x, lens, w_x, b_x, w_hf, w_hb, compute_dtype, tc):
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, tc, 4 * H), jnp.float32),
             pltpu.VMEM((B, tc, 4 * H), jnp.float32),
+            # f32 chunk buffers for the four streams: per-step rows are
+            # written here, then cast+masked into the (possibly bf16)
+            # out refs as one full-block store each (see _v2_fwd_kernel).
+            pltpu.VMEM((B, tc, H), jnp.float32),
+            pltpu.VMEM((B, tc, H), jnp.float32),
+            pltpu.VMEM((B, tc, H), jnp.float32),
+            pltpu.VMEM((B, tc, H), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_V2_VMEM_LIMIT),
         interpret=interpret,

@@ -104,19 +104,21 @@ class Trainer:
             config.frontend.hop_length,
             config.data.dynamic_batch,
         )
-        # Speed perturbation (train split only): bucket placement must
-        # reserve room for the slowest factor's 1/f stretch.
+        # Speed perturbation (train split only): the sampler places each
+        # utterance per epoch by the duration its deterministic factor
+        # draw will actually produce (realized placement — no worst-case
+        # headroom padding; see BucketSampler docstring). The loader
+        # shares the same draw via sampler.perturb_factor.
         sp = tuple(config.data.speed_perturb or ())
         if sp and min(sp) <= 0:
             raise ValueError(
                 f"data.speed_perturb factors must be > 0: {sp}")
-        dur_scale = 1.0 / min(sp) if sp and min(sp) < 1.0 else 1.0
         self.sampler = BucketSampler(
             self.train_utts, specs, config.data.sample_rate,
             seed=config.train.seed, shuffle=config.data.shuffle,
             drop_last=config.data.drop_last,
             sortagrad_epochs=config.data.sortagrad_epochs,
-            duration_scale=dur_scale,
+            speed_perturb=sp, perturb_seed=config.train.seed,
         )
         self.loader = DataLoader(
             self.train_utts, self.sampler, self.tokenizer,

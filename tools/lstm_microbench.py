@@ -27,6 +27,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="kernel compute dtype (flagship runs bfloat16)")
     args = p.parse_args()
 
     import jax
@@ -50,11 +53,12 @@ def main():
 
         # Reduce outputs to a scalar ON DEVICE: fetching a big array over
         # the axon tunnel would swamp the measurement (BASELINE.md).
-        fwd = jax.jit(lambda *a: bilstm_fused(*a).sum())
+        cd = jnp.dtype(args.dtype)
+        fwd = jax.jit(lambda *a: bilstm_fused(*a, cd).sum())
         loss_fn = jax.jit(lambda *a: sum(
             g.sum() for g in jax.grad(
                 lambda xx, wx, bx, whf, whb:
-                bilstm_fused(xx, lens, wx, bx, whf, whb).sum(),
+                bilstm_fused(xx, lens, wx, bx, whf, whb, cd).sum(),
                 argnums=(0, 1, 2, 3, 4))(*a)))
 
         def timeit(fn, ops):

@@ -122,7 +122,10 @@ def main(argv=None) -> None:
             def body(carry, _):
                 aud, dep = carry
                 _, _, scores, steps = _dfn(params, lm_ps, aud + dep, al)
-                dep = jnp.zeros_like(aud) * scores[0, 0]
+                # Data dependency in the AUDIO dtype (audio may ship as
+                # int16 under data.transfer_dtype — keep the chain from
+                # promoting it).
+                dep = jnp.zeros_like(aud) * scores[0, 0].astype(aud.dtype)
                 return (aud, dep), steps
             (_, _), s = jax.lax.scan(body, (a, jnp.zeros_like(a)),
                                      None, length=K)

@@ -93,6 +93,11 @@ def main():
     p.add_argument("--buckets", type=int, default=4)
     p.add_argument("--compare", default="2.0,4.0",
                    help="comma-separated bounds to compare against")
+    p.add_argument("--perturb", default="",
+                   help="comma-separated speed factors (e.g. 0.9,1.0,1.1): "
+                        "tune on the REALIZED duration mixture the "
+                        "sampler's per-epoch placement sees (each "
+                        "utterance contributes duration/f per factor)")
     args = p.parse_args()
 
     from gluon_e2e_asr_tpu.data.manifest import (
@@ -106,6 +111,9 @@ def main():
     else:
         p.error("need --manifest or --synthetic")
     durs = np.asarray([u.duration for u in utts], np.float64)
+    if args.perturb:
+        factors = [float(f) for f in args.perturb.split(",")]
+        durs = np.concatenate([durs / f for f in factors])
 
     bounds, waste = optimal_bounds(durs, args.buckets)
     cur = [float(x) for x in args.compare.split(",")]
