@@ -62,6 +62,13 @@ def main(argv=None):
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
                    help="dotted config override, e.g. decode.beam_size=20 "
                         "(repeatable)")
+    p.add_argument("--min-dur", type=float, default=0.0,
+                   help="decode only dev utterances at least this many "
+                        "seconds long (targeted measurement, e.g. the "
+                        "end-detect long-utterance A/B)")
+    p.add_argument("--max-utts", type=int, default=0,
+                   help="cap the dev set at the first N utterances after "
+                        "filtering (0 = all)")
     args = p.parse_args(argv)
 
     config = load_config(args.config) if args.config else Config()
@@ -87,6 +94,13 @@ def main(argv=None):
         if _meta0.get("vocab"):
             tokenizer = tokenizer_from_json(_meta0["vocab"])
     _, dev_utts = build_datasets(config)
+    if args.min_dur > 0:
+        dev_utts = [u for u in dev_utts if u.duration >= args.min_dur]
+    if args.max_utts > 0:
+        dev_utts = dev_utts[: args.max_utts]
+    if not dev_utts:
+        raise SystemExit(
+            f"--min-dur {args.min_dur} left no dev utterances to decode")
     specs = make_bucket_specs(
         config.data.bucket_bounds_sec, config.data.sample_rate,
         config.data.batch_size, config.data.max_label_len,

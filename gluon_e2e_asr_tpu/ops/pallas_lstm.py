@@ -889,7 +889,10 @@ def _v2_vjp_bwd(compute_dtype, tc, res, g):
     zrow = jnp.zeros((B, 1, H), ys_f.dtype)
     # [n,B,H] layout: Mosaic wants the last two block dims full-size, so
     # the chunk axis leads and each grid step streams one (1,B,H) row.
-    nbh = lambda a: jnp.swapaxes(a, 0, 1)  # noqa: E731
+    # Always f32: the kernel reshapes these rows (1,B,H)->(B,1,H), and
+    # Mosaic's layout inference rejects that shape cast on bf16 vectors
+    # (bf16 streams would otherwise propagate their dtype here).
+    nbh = lambda a: jnp.swapaxes(a, 0, 1).astype(jnp.float32)  # noqa: E731
     bh_f = nbh(jnp.concatenate([zrow, ys_f[:, tc - 1::tc][:, :n - 1]], axis=1))
     bc_f = nbh(jnp.concatenate([zrow, cs_f[:, tc - 1::tc][:, :n - 1]], axis=1))
     # backward dir processes time TP-1 -> 0; its "previous" state is t+1
