@@ -131,3 +131,49 @@ def test_trainer_int16_end_to_end(tmp_path):
     t = Trainer(cfg, workdir=str(tmp_path))
     final = t.train()
     assert np.isfinite(final["dev_wer"])
+
+
+def test_compute_cmvn_dtype_invariant(tmp_path, lib_ok, monkeypatch):
+    """tools/compute_cmvn.py must produce IDENTICAL stats under
+    transfer_dtype float32 and int16.
+
+    Regression for the round-5 ls100 restart failure: the tool calls
+    log_mel_spectrogram directly (bypassing frontend_apply's PCM16
+    dequant), so an int16 loader fed it +-32767-scale samples and every
+    log-mel mean inflated by log(2^30) ~= 20.8 — stats that silently
+    UN-normalized training (valid-frame features at mean -17.9) and kept
+    CTC from converging for two epochs of TPU time.
+    """
+    import importlib.util
+    import os
+
+    import yaml
+
+    spec = importlib.util.spec_from_file_location(
+        "compute_cmvn_tool",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "compute_cmvn.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    utts = _flac_corpus(tmp_path, n=4)
+    monkeypatch.setattr(mod, "build_datasets", lambda cfg: (utts, []))
+
+    stats = {}
+    for td in ("float32", "int16"):
+        cfg_path = str(tmp_path / f"cmvn_{td}.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump({"name": f"cmvn_{td}",
+                            "data": {"transfer_dtype": td,
+                                     "batch_size": 4,
+                                     "bucket_bounds_sec": [2.0]}}, f)
+        out = str(tmp_path / f"cmvn_{td}.npz")
+        mod.main(["--config", cfg_path, "--output", out])
+        stats[td] = np.load(out)
+    np.testing.assert_array_equal(stats["float32"]["mean"],
+                                  stats["int16"]["mean"])
+    np.testing.assert_array_equal(stats["float32"]["std"],
+                                  stats["int16"]["std"])
+    # and the stats are sane for dequantized audio (log-mel of unit-scale
+    # waveforms is O(-30..10), nowhere near the +18.7 inflated regime)
+    assert float(stats["int16"]["mean"].mean()) < 10.0

@@ -52,6 +52,16 @@ def main(argv=None):
 
     @jax.jit
     def moments(audio, audio_len):
+        # Mirror frontend_apply's PCM16 dequant [data.transfer_dtype=
+        # int16]: this tool calls log_mel_spectrogram directly (it wants
+        # raw per-bin moments, not the CMVN-applied features), so the
+        # int16 -> f32 * 2^-15 reconstruction does NOT happen for it
+        # automatically. Skipping it inflates every log-mel mean by
+        # log(2^30) ~= 20.8 — stats that silently un-normalize training
+        # (found in round 5: the ls100 restart trained on mean -17.9
+        # "normalized" features and CTC never converged).
+        if audio.dtype == jnp.int16:
+            audio = audio.astype(jnp.float32) * jnp.float32(2.0 ** -15)
         feats = log_mel_spectrogram(audio, fcfg)
         F = feats.shape[1]
         feat_len = num_frames(audio_len, fcfg.win_length, fcfg.hop_length)
