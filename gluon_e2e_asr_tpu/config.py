@@ -93,6 +93,15 @@ class DataConfig:
     # same draws. Bucket placement reserves room for the slowest factor,
     # keeping bucket shapes static. Empty tuple = off.
     speed_perturb: Tuple[float, ...] = ()
+    # Bucket placement when speed_perturb is on. Default (False): the
+    # sampler re-places each utterance per epoch by the duration its
+    # deterministic factor draw actually produces ("realized" placement —
+    # no worst-case headroom, measured pad-waste 0.232 -> 0.118 at the
+    # 100 h scale). True restores the pre-round-5 static placement
+    # (assign once by duration/min(factor) worst case) — the control arm
+    # of the BASELINE.md bucket-retune A/B, and an escape hatch if a
+    # corpus interacts badly with per-epoch re-bucketing.
+    static_placement: bool = False
     # SortaGrad (the reference family's curriculum knob): run the first N
     # epochs shortest-utterance-first with no shuffle, then switch to the
     # normal per-epoch shuffle. Stabilizes early CTC training on real

@@ -110,6 +110,7 @@ class BucketSampler:
         duration_scale: float = 1.0,
         speed_perturb: Sequence[float] = (),
         perturb_seed: int = 0,
+        static_placement: bool = False,
     ):
         self.specs = list(specs)
         self.seed = seed
@@ -126,6 +127,10 @@ class BucketSampler:
         self._sample_rate = sample_rate
         self.speed_perturb = tuple(float(f) for f in speed_perturb)
         self.perturb_seed = perturb_seed
+        # data.static_placement: keep the worst-case one-shot assignment
+        # even with speed_perturb on (the pre-round-5 behavior; the
+        # control arm of the bucket-retune A/B).
+        self.static_placement = bool(static_placement)
         self.assignments: List[List[int]] = [[] for _ in self.specs]
         self.skipped: List[int] = []
         # Static placement (also the worst-case feasibility record in
@@ -150,7 +155,7 @@ class BucketSampler:
     def _epoch_assignments(self, epoch: int) -> List[List[int]]:
         """Bucket assignment for one epoch: realized durations when
         speed_perturb is set, the static worst-case otherwise."""
-        if not self.speed_perturb:
+        if not self.speed_perturb or self.static_placement:
             return self.assignments
         assignments: List[List[int]] = [[] for _ in self.specs]
         sr = self._sample_rate

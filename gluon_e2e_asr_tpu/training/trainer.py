@@ -119,6 +119,7 @@ class Trainer:
             drop_last=config.data.drop_last,
             sortagrad_epochs=config.data.sortagrad_epochs,
             speed_perturb=sp, perturb_seed=config.train.seed,
+            static_placement=config.data.static_placement,
         )
         self.loader = DataLoader(
             self.train_utts, self.sampler, self.tokenizer,

@@ -92,3 +92,22 @@ def test_no_perturb_reduces_to_static():
     specs = make_bucket_specs([2.0, 4.0, 8.0], 16000, 8, 64, 160, False)
     s = BucketSampler(utts, specs, 16000, seed=3, shuffle=False)
     assert s._epoch_assignments(0) is s.assignments
+
+
+def test_static_placement_flag_restores_worst_case():
+    """data.static_placement=True keeps the one-shot worst-case
+    assignment even with speed_perturb on (the pre-round-5 behavior;
+    the control arm of the BASELINE.md bucket-retune A/B)."""
+    utts = build_synthetic_manifest(48, seed=0)
+    specs = make_bucket_specs([1.2, 1.6, 8.0], 16000, 8, 64, 160, False)
+    s = BucketSampler(utts, specs, 16000, seed=3, shuffle=True,
+                      speed_perturb=SP, perturb_seed=7,
+                      static_placement=True)
+    assert s._epoch_assignments(0) is s.assignments
+    assert s._epoch_assignments(5) is s.assignments
+    # and the static assignment reserved the 1/min(f) headroom: every
+    # utterance fits its bucket even at the slowest draw
+    for b, idxs in enumerate(s.assignments):
+        for i in idxs:
+            n = int(round(round(utts[i].duration * 16000) / min(SP)))
+            assert n <= specs[b].max_samples
