@@ -177,34 +177,47 @@ def load_lm(path: str) -> Tuple[LSTMLM, Any, Dict[str, Any]]:
 
 
 def lm_logprob_batch(model: LSTMLM, params, token_rows, eos_id: int,
-                     sos_id: int, pad_to: int = 16) -> np.ndarray:
-    """Exact sequence log-probs for MANY id rows in one jitted call:
+                     sos_id: int, pad_to: int = 16,
+                     max_rows: int = 2048) -> np.ndarray:
+    """Exact sequence log-probs for MANY id rows in a few jitted calls:
     log p(y, eos | sos) per row. Rows pad to a shared length rounded up
     to a multiple of ``pad_to`` so repeated calls reuse a handful of
-    compiled shapes (per-row ``lm_logprob`` would recompile per length)."""
+    compiled shapes (per-row ``lm_logprob`` would recompile per length).
+
+    Rows are processed in ``max_rows`` chunks (short rows padded up to
+    the chunk size, one compiled shape per length class): a single call
+    over the whole set materializes [n, L, V] f32 logits, which OOM'd
+    HBM at the 100 h scale (27,000 rescoring candidates -> 16.5 GB on
+    a 16 GB chip)."""
     n = len(token_rows)
     if n == 0:
         return np.zeros((0,), np.float32)
     L = max(len(r) for r in token_rows) + 1  # +1 for the eos target
     L = ((L + pad_to - 1) // pad_to) * pad_to
-    tokens_in = np.zeros((n, L), np.int32)
-    targets = np.zeros((n, L), np.int32)
-    lens = np.zeros((n,), np.int32)
-    for i, row in enumerate(token_rows):
-        ids = [int(t) for t in row][: L - 1]
-        seq_in = [sos_id] + ids
-        seq_tgt = ids + [eos_id]
-        tokens_in[i, : len(seq_in)] = seq_in
-        targets[i, : len(seq_tgt)] = seq_tgt
-        lens[i] = len(seq_in)
-
-    logits = model.apply({"params": params}, jnp.asarray(tokens_in),
-                         jnp.asarray(lens))
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    tok_lp = jnp.take_along_axis(logp, jnp.asarray(targets)[..., None],
-                                 axis=-1)[..., 0]
-    mask = jnp.arange(L)[None, :] < jnp.asarray(lens)[:, None]
-    return np.asarray(jnp.sum(tok_lp * mask, axis=1))
+    out = np.zeros((n,), np.float32)
+    for start in range(0, n, max_rows):
+        rows = token_rows[start: start + max_rows]
+        m = len(rows)
+        mp = max_rows if n > max_rows else m  # stable chunk shape
+        tokens_in = np.zeros((mp, L), np.int32)
+        targets = np.zeros((mp, L), np.int32)
+        lens = np.zeros((mp,), np.int32)
+        for i, row in enumerate(rows):
+            ids = [int(t) for t in row][: L - 1]
+            seq_in = [sos_id] + ids
+            seq_tgt = ids + [eos_id]
+            tokens_in[i, : len(seq_in)] = seq_in
+            targets[i, : len(seq_tgt)] = seq_tgt
+            lens[i] = len(seq_in)
+        logits = model.apply({"params": params}, jnp.asarray(tokens_in),
+                             jnp.asarray(lens))
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(logp, jnp.asarray(targets)[..., None],
+                                     axis=-1)[..., 0]
+        mask = jnp.arange(L)[None, :] < jnp.asarray(lens)[:, None]
+        out[start: start + m] = np.asarray(
+            jnp.sum(tok_lp * mask, axis=1))[:m]
+    return out
 
 
 def lm_logprob(model: LSTMLM, params, tokens: np.ndarray,
